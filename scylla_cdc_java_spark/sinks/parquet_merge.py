@@ -1,0 +1,365 @@
+"""Exactly-once lake upsert sink over plain parquet — the Spark-side
+equivalent of the replicator's "apply to destination cluster" sink
+(reference: scylla-cdc-replicator Main.java:674-683), re-expressed as a
+whole-batch MERGE (SURVEY.md S5).
+
+No Iceberg runtime jar ships in this environment, so this sink is the
+SURVEY.md section 7 fallback: a *bucketed read-modify-write merge with an
+atomic manifest commit* that preserves the two properties Iceberg would
+give us:
+
+1. **Atomic batch commit**: data files for a batch are written to fresh
+   per-bucket version directories; the commit is a single
+   ``os.replace()`` of the MANIFEST.json pointer (atomic on POSIX). A
+   crash mid-batch leaves the previous manifest (and therefore the
+   previous table state + checkpoint) fully intact — the reference gets
+   the same guarantee from re-reading a failed window plus LWW
+   idempotency (Worker.java:105-114).
+2. **Exactly-once**: the engine checkpoint is embedded IN the manifest,
+   so table state and consumption lineage commit in the same atomic op.
+
+Layout::
+
+    target/
+      MANIFEST.json            -> {"version", "buckets": {bid: relpath},
+                                   "value_columns", "checkpoint"}
+      data/v<version>/__bucket=<bid>/*.parquet
+
+Buckets are ``pmod(xxhash64(repo), num_buckets)`` — partition-key hash,
+so PARTITION_DELETE / range deletes for a repo touch exactly one bucket,
+and only buckets touched by a batch are rewritten. Hot repos are handled
+by salting the write shuffle with a path-hash salt (multiple tasks write
+one bucket). At 100 TB you would raise ``num_buckets`` into the thousands
+and plug a real Iceberg catalog behind this same interface.
+
+The merge itself implements cell-level LWW + tombstone shadowing:
+stored rows carry per-cell write timestamps (``_ts_<col>``), an INSERT
+row-marker ts, and the max covering tombstone ts. All resolution is
+``greatest()`` over int64s — monotone, hence idempotent under batch
+replay (redelivered events compare equal and change nothing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..model import (
+    COL_LIVE,
+    COL_MARKER_TS,
+    COL_TOMB_TS,
+    TableConfig,
+    DEFAULT_TABLE,
+    ts_col,
+)
+from ..operators.fold import FoldResult
+
+NEG_INF = -1
+BUCKET_COL = "__bucket"
+
+
+class ParquetMergeSink:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        table: TableConfig = DEFAULT_TABLE,
+        num_buckets: int = 32,
+        salt_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.path = path
+        self.table = table
+        self.num_buckets = num_buckets
+        self.salt_buckets = salt_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # manifest
+    # ------------------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "MANIFEST.json")
+
+    def manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {
+                "version": 0,
+                "buckets": {},
+                "value_columns": list(self.table.value_columns),
+                "checkpoint": None,
+            }
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def checkpoint(self) -> dict | None:
+        return self.manifest().get("checkpoint")
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    # ------------------------------------------------------------------
+    # read paths
+    # ------------------------------------------------------------------
+    def _bucket_expr(self, repo_col: str = None):
+        c = F.col(repo_col or self.table.partition_key[0])
+        return F.pmod(F.xxhash64(c), F.lit(self.num_buckets)).cast("int")
+
+    def _physical_schema_ddl(self, value_columns: list[str]) -> str:
+        parts = [f"`{c}` string" for c in self.table.primary_key]
+        parts += [f"`{c}` string" for c in value_columns]
+        parts += [f"`{ts_col(c)}` long" for c in value_columns]
+        parts += [
+            f"`{COL_MARKER_TS}` long",
+            f"`{COL_TOMB_TS}` long",
+            f"`{COL_LIVE}` boolean",
+        ]
+        return ", ".join(parts)
+
+    def read_physical(self, buckets: list[int] | None = None) -> DataFrame:
+        m = self.manifest()
+        sel = m["buckets"]
+        if buckets is not None:
+            sel = {str(b): p for b in buckets if (p := m["buckets"].get(str(b)))}
+        dirs = [os.path.join(self.path, p) for p in sel.values()]
+        dirs = [d for d in dirs if os.path.exists(d)]
+        if not dirs:
+            return self.spark.createDataFrame(
+                [], schema=self._physical_schema_ddl(m["value_columns"])
+            )
+        return self.spark.read.parquet(*dirs).drop(BUCKET_COL)
+
+    def read(self) -> DataFrame:
+        """Public view: live rows, logical columns only."""
+        m = self.manifest()
+        return (
+            self.read_physical()
+            .where(F.col(COL_LIVE))
+            .select(*self.table.primary_key, *m["value_columns"])
+        )
+
+    # ------------------------------------------------------------------
+    # merge (the whole write engine of SURVEY.md section 2.3)
+    # ------------------------------------------------------------------
+    def merge(self, fold: FoldResult, checkpoint: dict | None = None) -> dict:
+        """Apply one folded batch; returns commit stats."""
+        t0 = time.time()
+        m = self.manifest()
+        spark = self.spark
+        tbl = self.table
+        pk = list(tbl.primary_key)
+        repo_col = tbl.partition_key[0]
+        path_col = tbl.clustering_key[0]
+
+        # ---- schema evolution: union of known and batch value columns --
+        batch_vcols = [
+            c for c in fold.key_state.columns
+            if c not in pk and not c.startswith("_")
+        ]
+        value_cols = list(dict.fromkeys(m["value_columns"] + batch_vcols))
+
+        src = fold.key_state
+        for c in value_cols:
+            if c not in src.columns:
+                src = src.withColumn(c, F.lit(None).cast("string")).withColumn(
+                    ts_col(c), F.lit(None).cast("long")
+                )
+
+        part_tombs = fold.part_tombs.withColumnRenamed("ts", "_pt_ts")
+        range_tombs = fold.range_tombs
+
+        # ---- touched buckets (tiny collect) ----------------------------
+        touched_df = (
+            src.select(self._bucket_expr().alias("b"))
+            .union(part_tombs.select(self._bucket_expr().alias("b")))
+            .union(range_tombs.select(self._bucket_expr().alias("b")))
+            .distinct()
+        )
+        touched = sorted(r["b"] for r in touched_df.collect())
+        if not touched:
+            new_manifest = dict(m)
+            new_manifest["checkpoint"] = checkpoint
+            new_manifest["version"] = m["version"] + 1
+            self._commit(new_manifest)
+            return {"touched_buckets": [], "merge_s": time.time() - t0}
+
+        tgt = self.read_physical(touched)
+        for c in value_cols:
+            if c not in tgt.columns:
+                tgt = tgt.withColumn(c, F.lit(None).cast("string")).withColumn(
+                    ts_col(c), F.lit(None).cast("long")
+                )
+
+        t = tgt.select(
+            *[F.col(c).alias(f"t_{c}") for c in pk],
+            *[F.col(c).alias(f"tv_{c}") for c in value_cols],
+            *[F.col(ts_col(c)).alias(f"tts_{c}") for c in value_cols],
+            F.col(COL_MARKER_TS).alias("t_marker"),
+            F.col(COL_TOMB_TS).alias("t_tomb"),
+        )
+        s = src.select(
+            *[F.col(c).alias(f"s_{c}") for c in pk],
+            *[F.col(c).alias(f"sv_{c}") for c in value_cols],
+            *[F.col(ts_col(c)).alias(f"sts_{c}") for c in value_cols],
+            F.col(COL_MARKER_TS).alias("s_marker"),
+            F.col("_row_tomb").alias("s_row_tomb"),
+        )
+        cond = [t[f"t_{c}"].eqNullSafe(s[f"s_{c}"]) for c in pk]
+        j = t.join(s, cond, "full_outer")
+        for c in pk:
+            j = j.withColumn(c, F.coalesce(F.col(f"t_{c}"), F.col(f"s_{c}")))
+
+        # ---- partition tombstones: broadcast equi-join on repo ---------
+        j = j.join(
+            F.broadcast(part_tombs.withColumnRenamed(repo_col, "_pt_repo")),
+            F.col(repo_col) == F.col("_pt_repo"),
+            "left",
+        ).drop("_pt_repo")
+
+        # ---- range tombstones: semi-scoped non-equi join + max ---------
+        # ranges are rare; broadcast them, aggregate max ts per covered key
+        rt = range_tombs.select(
+            F.col(repo_col).alias("_rt_repo"),
+            "lo", "lo_incl", "hi", "hi_incl",
+            F.col("ts").alias("_rt_ts"),
+        )
+        covered = (
+            j.select(*pk)
+            .join(
+                F.broadcast(rt),
+                (F.col(repo_col) == F.col("_rt_repo"))
+                & (
+                    F.when(F.col("lo_incl"), F.col(path_col) >= F.col("lo")).otherwise(
+                        F.col(path_col) > F.col("lo")
+                    )
+                )
+                & (
+                    F.when(F.col("hi_incl"), F.col(path_col) <= F.col("hi")).otherwise(
+                        F.col(path_col) < F.col("hi")
+                    )
+                ),
+                "inner",
+            )
+            .groupBy(*pk)
+            .agg(F.max("_rt_ts").alias("_rt_ts"))
+        )
+        j = j.join(
+            covered.select(*[F.col(c).alias(f"r_{c}") for c in pk], "_rt_ts"),
+            [F.col(c).eqNullSafe(F.col(f"r_{c}")) for c in pk],
+            "left",
+        ).drop(*[f"r_{c}" for c in pk])
+
+        # ---- resolution: monotone max over timestamps ------------------
+        tomb = F.greatest(
+            F.coalesce(F.col("t_tomb"), F.lit(NEG_INF)),
+            F.coalesce(F.col("s_row_tomb"), F.lit(NEG_INF)),
+            F.coalesce(F.col("_pt_ts"), F.lit(NEG_INF)),
+            F.coalesce(F.col("_rt_ts"), F.lit(NEG_INF)),
+        )
+        out = j.withColumn(COL_TOMB_TS, tomb).withColumn(
+            COL_MARKER_TS,
+            F.greatest(
+                F.coalesce(F.col("t_marker"), F.lit(NEG_INF)),
+                F.coalesce(F.col("s_marker"), F.lit(NEG_INF)),
+            ),
+        )
+        live_terms = [F.col(COL_MARKER_TS) > F.col(COL_TOMB_TS)]
+        for c in value_cols:
+            new_ts = F.greatest(
+                F.coalesce(F.col(f"tts_{c}"), F.lit(NEG_INF)),
+                F.coalesce(F.col(f"sts_{c}"), F.lit(NEG_INF)),
+            )
+            src_wins = F.coalesce(F.col(f"sts_{c}"), F.lit(NEG_INF)) > F.coalesce(
+                F.col(f"tts_{c}"), F.lit(NEG_INF)
+            )
+            raw_v = F.when(src_wins, F.col(f"sv_{c}")).otherwise(F.col(f"tv_{c}"))
+            # shadow: a tombstone kills cells with ts <= tomb ts
+            out = out.withColumn(
+                ts_col(c), F.when(new_ts > NEG_INF, new_ts)
+            ).withColumn(
+                c, F.when(new_ts > F.col(COL_TOMB_TS), raw_v).otherwise(F.lit(None))
+            )
+            live_terms.append(F.col(c).isNotNull())
+
+        live = live_terms[0]
+        for term in live_terms[1:]:
+            live = live | term
+        out = out.withColumn(COL_LIVE, live).select(
+            *pk,
+            *value_cols,
+            *[ts_col(c) for c in value_cols],
+            COL_MARKER_TS,
+            COL_TOMB_TS,
+            COL_LIVE,
+        )
+
+        # ---- write: per-bucket version dirs, salted shuffle ------------
+        version = m["version"] + 1
+        rel_out = os.path.join("data", f"v{version}")
+        staging = os.path.join(self.path, rel_out)
+        out = out.withColumn(BUCKET_COL, self._bucket_expr()).withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(path_col)), F.lit(self.salt_buckets)).cast("int"),
+        )
+        n_parts = max(len(touched) * min(self.salt_buckets, 4), 1)
+        (
+            out.repartition(n_parts, F.col(BUCKET_COL), F.col("__salt"))
+            .drop("__salt")
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(staging)
+        )
+
+        # ---- atomic manifest swap --------------------------------------
+        new_buckets = dict(m["buckets"])
+        written = set()
+        if os.path.exists(staging):
+            for d in os.listdir(staging):
+                if d.startswith(BUCKET_COL + "="):
+                    b = d.split("=", 1)[1]
+                    new_buckets[b] = os.path.join(rel_out, d)
+                    written.add(b)
+        for b in touched:  # bucket emptied by this batch
+            if str(b) not in written and str(b) in new_buckets:
+                del new_buckets[str(b)]
+        new_manifest = {
+            "version": version,
+            "buckets": new_buckets,
+            "value_columns": value_cols,
+            "checkpoint": checkpoint,
+        }
+        self._commit(new_manifest)
+        return {
+            "touched_buckets": touched,
+            "version": version,
+            "merge_s": time.time() - t0,
+        }
+
+    # ------------------------------------------------------------------
+    def vacuum(self) -> int:
+        """Delete data dirs no longer referenced by the manifest (orphans
+        from crashed/superseded batches). Safe anytime after commit."""
+        m = self.manifest()
+        live = {os.path.join(self.path, p) for p in m["buckets"].values()}
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return 0
+        for v in os.listdir(data_root):
+            vdir = os.path.join(data_root, v)
+            for d in list(os.listdir(vdir)):
+                full = os.path.join(vdir, d)
+                if full not in live and d.startswith(BUCKET_COL + "="):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed += 1
+            if not os.listdir(vdir):
+                os.rmdir(vdir)
+        return removed

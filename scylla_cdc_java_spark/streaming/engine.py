@@ -1,0 +1,341 @@
+"""The engine driver — re-creation of the reference's Master/Worker
+orchestration (scylla-cdc-lib master/Master.java:125-148,
+worker/Worker.java:90-143) as a Spark microbatch loop.
+
+Roles, mapped:
+
+- **Master** (Master.java:132-142): enumerate generations from the
+  metadata table starting at epoch 0, one at a time; our generations
+  table is a tiny parquet read + driver collect (SURVEY.md S1/S2/A1).
+- **Worker** (Worker.java:90-133): per generation, loop fetch windows
+  (plans/windows.py) and consume each window. The reference runs one
+  async chain per Vnode task and joins them with an ``allOf`` barrier
+  (Worker.java:135-139); here ONE DataFrame job per window covers every
+  stream group at once — Spark's task scheduler IS the fan-out, the job
+  boundary IS the barrier.
+- **Consumer** (replicator Main.java:674-683): the fold + merge pipeline
+  (operators/fold.py + sinks/parquet_merge.py).
+
+Exactly-once (SURVEY.md section 7 rule 3): windows are deterministic,
+the apply is idempotent (monotone LWW), and the checkpoint — generation
+index, per-group last ``cdc$time`` + rows applied, pending range starts —
+commits atomically WITH the data in the sink manifest. A failed batch is
+simply re-run from the previous manifest (the reference re-reads a failed
+window and relies on LWW the same way, Worker.java:105-114).
+
+Tail mode re-creates the adaptive poll backoff (1s cropped / 10s busy /
+30s idle, Worker.java:28-30,130) and the late-writes watermark via an
+injected clock.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..model import (
+    COL_GENERATION,
+    COL_OP,
+    COL_STREAM_GROUP,
+    COL_TIME_BUCKET,
+    COL_TS,
+    DEFAULT_TABLE,
+    EngineConfig,
+    SEQ_MOD,
+    TableConfig,
+)
+from ..operators.fold import fold_batch, normalize_log
+from ..plans.windows import EPOCH_START, FetchingWindow, NotReady, compute_fetching_window
+from ..sinks.parquet_merge import ParquetMergeSink
+
+
+@dataclass
+class ReplayStats:
+    windows: int = 0
+    rows: int = 0
+    generations: int = 0
+    wall_s: float = 0.0
+    merge_s: float = 0.0
+    per_window: list = field(default_factory=list)
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.rows / self.wall_s if self.wall_s > 0 else 0.0
+
+
+def _log_layout(log_dir: str) -> dict[int, dict]:
+    """Driver-side partition-dir listing: per generation, the stream
+    groups present and the max time bucket. Pure filesystem metadata —
+    no Spark job (the reference's equivalent driver reads are S1/S2)."""
+    out: dict[int, dict] = {}
+    for gdir in glob.glob(os.path.join(glob.escape(log_dir), "generation=*")):
+        g = int(gdir.rsplit("=", 1)[1])
+        groups = set()
+        max_tb = 0
+        for sgdir in glob.glob(os.path.join(glob.escape(gdir), "stream_group=*")):
+            groups.add(int(sgdir.rsplit("=", 1)[1]))
+            for tbdir in glob.glob(os.path.join(glob.escape(sgdir), "time_bucket=*")):
+                max_tb = max(max_tb, int(tbdir.rsplit("=", 1)[1]))
+        out[g] = {"groups": sorted(groups), "max_time_bucket": max_tb}
+    return out
+
+
+class Engine:
+    """``Engine(spark, log_dir, generations_path, target_path).replay()``
+    — the public surface mirroring ``new ScyllaCDC(...); fetchChanges();
+    finish()`` (scylla-cdc-lib ScyllaCDC.java:17-40)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str,
+        generations_path: str,
+        target_path: str,
+        table: TableConfig = DEFAULT_TABLE,
+        cfg: EngineConfig | None = None,
+        clock=None,
+        time_bucket_ms: int = 600_000,
+    ):
+        self.spark = spark
+        self.log_dir = log_dir
+        self.generations_path = generations_path
+        self.table = table
+        self.cfg = cfg or EngineConfig()
+        self.clock = clock  # ms-returning callable; None => replay mode
+        self.time_bucket_ms = time_bucket_ms
+        self.sink = ParquetMergeSink(
+            spark,
+            target_path,
+            table,
+            num_buckets=self.cfg.num_buckets,
+            salt_buckets=self.cfg.salt_buckets,
+        )
+
+    # ------------------------------------------------------------------
+    def generations(self) -> list[tuple[int, list[bytes]]]:
+        rows = (
+            self.spark.read.parquet(self.generations_path)
+            .orderBy("time")
+            .collect()
+        )
+        return [(r["time"], [bytes(s) for s in r["streams"]]) for r in rows]
+
+    def _read_window(self, gstart: int, w: FetchingWindow) -> DataFrame:
+        """Windowed log scan (SURVEY.md S3): partition pruning on
+        (generation, time_bucket) + fine int64 predicate on cdc$ts.
+        The stream-set predicate of the reference (``cdc$stream_id IN``)
+        is subsumed by the generation partition (its dirs contain exactly
+        that generation's streams)."""
+        start_ms = (w.start_ts + 1) // SEQ_MOD if w.start_ts != EPOCH_START else 0
+        end_ms = w.end_ts // SEQ_MOD + 1
+        df = (
+            self.spark.read.parquet(self.log_dir)
+            .where(F.col(COL_GENERATION) == gstart)
+            .where(
+                (F.col(COL_TIME_BUCKET) >= start_ms // self.time_bucket_ms)
+                & (F.col(COL_TIME_BUCKET) <= end_ms // self.time_bucket_ms)
+            )
+        )
+        df = normalize_log(df)
+        return df.where(
+            (F.col(COL_TS) > w.start_ts) & (F.col(COL_TS) <= w.end_ts)
+        )
+
+    # ------------------------------------------------------------------
+    def replay(self, collect_group_metrics: bool = True) -> ReplayStats:
+        """Consume the whole log to exhaustion (batch replay). Resumes
+        from the sink-manifest checkpoint if one exists."""
+        t_start = time.time()
+        stats = ReplayStats()
+        gens = self.generations()
+        layout = _log_layout(self.log_dir)
+
+        ckpt = self.sink.checkpoint() or {
+            "gen_index": 0,
+            "last_ts": EPOCH_START,
+            "groups": {},
+            "pending_ranges": [],
+            "done": False,
+        }
+        if ckpt.get("done"):
+            stats.wall_s = time.time() - t_start
+            return stats
+
+        gi = ckpt["gen_index"]
+        last_ts = ckpt["last_ts"]
+        pending = [
+            {**p, "stream_id": bytes.fromhex(p["stream_id"])}
+            for p in ckpt.get("pending_ranges", [])
+        ]
+
+        while gi < len(gens):
+            gstart, streams = gens[gi]
+            lay = layout.get(gstart, {"groups": [], "max_time_bucket": 0})
+            if gi + 1 < len(gens):
+                gen_end_ms = gens[gi + 1][0]
+            else:
+                # replay mode closes the open generation at log exhaustion
+                gen_end_ms = (lay["max_time_bucket"] + 1) * self.time_bucket_ms
+            now_ms = (
+                self.clock() if self.clock else gen_end_ms + self.cfg.late_writes_window_ms + 1
+            )
+
+            from ..plans.windows import _pack_ms_bound
+
+            if _pack_ms_bound(gen_end_ms) <= last_ts:
+                gi += 1  # generation already drained (resume edge)
+                continue
+
+            try:
+                w = compute_fetching_window(last_ts, gen_end_ms, now_ms, self.cfg)
+            except NotReady:
+                if self.clock is None:
+                    raise  # cannot happen in replay mode
+                time.sleep(self.cfg.poll_idle_s)
+                continue
+
+            slice_df = self._read_window(gstart, w)
+            fold = fold_batch(slice_df, self.table, pending, mode=self.cfg.mode)
+            new_pending_rows = fold.pending_range_df.collect()
+            new_pending = [
+                {
+                    "stream_id": bytes(r["cdc$stream_id"]),
+                    **{k: r[k] for k in self.table.partition_key},
+                    "lo": r["lo"],
+                    "lo_incl": r["lo_incl"],
+                    "ts": r["ts"],
+                }
+                for r in new_pending_rows
+            ]
+
+            group_rows: dict[str, int] = {}
+            window_rows = 0
+            if collect_group_metrics:
+                for r in (
+                    slice_df.groupBy(COL_STREAM_GROUP).count().collect()
+                ):
+                    group_rows[str(r[COL_STREAM_GROUP])] = r["count"]
+                window_rows = sum(group_rows.values())
+
+            groups_ckpt = dict(ckpt.get("groups", {}))
+            for g in lay["groups"]:
+                ent = groups_ckpt.get(str(g), {"rows_applied": 0})
+                ent.update(
+                    {
+                        "generation": gstart,
+                        "last_ts": w.end_ts,
+                        "rows_applied": ent.get("rows_applied", 0)
+                        + group_rows.get(str(g), 0),
+                        "streams": [s.hex() for s in streams][:64],
+                    }
+                )
+                groups_ckpt[str(g)] = ent
+
+            is_last_gen = gi + 1 >= len(gens)
+            new_ckpt = {
+                "gen_index": gi + 1 if w.last_window else gi,
+                "last_ts": w.end_ts,
+                "groups": groups_ckpt,
+                "pending_ranges": [
+                    {**p, "stream_id": p["stream_id"].hex()} for p in new_pending
+                ],
+                "done": bool(w.last_window and is_last_gen),
+            }
+            mstats = self.sink.merge(fold, new_ckpt)
+
+            stats.windows += 1
+            stats.rows += window_rows
+            stats.merge_s += mstats.get("merge_s", 0.0)
+            stats.per_window.append(
+                {"gen": gstart, "start": w.start_ts, "end": w.end_ts,
+                 "rows": window_rows, "merge_s": mstats.get("merge_s")}
+            )
+            ckpt = new_ckpt
+            last_ts = w.end_ts
+            pending = new_pending
+            if w.last_window:
+                # generation barrier (Worker.java:135-139): switch stream
+                # sets; pending ranges never straddle generations
+                pending = []
+                stats.generations += 1
+                gi += 1
+
+        stats.wall_s = time.time() - t_start
+        return stats
+
+    # ------------------------------------------------------------------
+    def tail(self, max_windows: int = 10) -> ReplayStats:
+        """Live-tail mode: like replay but honors the watermark with the
+        reference's 3-tier poll backoff (cropped 1s / busy 10s / idle
+        30s, Worker.java:28-30). Bounded by max_windows for testability."""
+        if self.clock is None:
+            self.clock = lambda: int(time.time() * 1000)
+        stats = ReplayStats()
+        t0 = time.time()
+        for _ in range(max_windows):
+            before = self.sink.checkpoint()
+            s = self._tail_step()
+            if s is None:
+                time.sleep(self.cfg.poll_idle_s)
+                continue
+            stats.windows += 1
+            stats.rows += s["rows"]
+            delay = (
+                self.cfg.poll_cropped_s
+                if s["cropped"]
+                else (self.cfg.poll_busy_s if s["rows"] else self.cfg.poll_idle_s)
+            )
+            time.sleep(min(delay, 0.05))  # scaled for tests
+        stats.wall_s = time.time() - t0
+        return stats
+
+    def _tail_step(self) -> dict | None:
+        gens = self.generations()
+        ckpt = self.sink.checkpoint() or {
+            "gen_index": 0,
+            "last_ts": EPOCH_START,
+            "groups": {},
+            "pending_ranges": [],
+            "done": False,
+        }
+        gi = ckpt["gen_index"]
+        if gi >= len(gens):
+            return None
+        gstart, _ = gens[gi]
+        gen_end_ms = gens[gi + 1][0] if gi + 1 < len(gens) else None
+        try:
+            w = compute_fetching_window(
+                ckpt["last_ts"], gen_end_ms, self.clock(), self.cfg
+            )
+        except NotReady:
+            return None
+        slice_df = self._read_window(gstart, w)
+        pending = [
+            {**p, "stream_id": bytes.fromhex(p["stream_id"])}
+            for p in ckpt.get("pending_ranges", [])
+        ]
+        fold = fold_batch(slice_df, self.table, pending, mode=self.cfg.mode)
+        new_pending = [
+            {
+                "stream_id": bytes(r["cdc$stream_id"]).hex(),
+                **{k: r[k] for k in self.table.partition_key},
+                "lo": r["lo"],
+                "lo_incl": r["lo_incl"],
+                "ts": r["ts"],
+            }
+            for r in fold.pending_range_df.collect()
+        ]
+        rows = slice_df.count()
+        new_ckpt = {
+            "gen_index": gi + 1 if w.last_window else gi,
+            "last_ts": w.end_ts,
+            "groups": ckpt.get("groups", {}),
+            "pending_ranges": [] if w.last_window else new_pending,
+            "done": bool(w.last_window and gi + 1 >= len(gens)),
+        }
+        self.sink.merge(fold, new_ckpt)
+        return {"rows": rows, "cropped": w.cropped}
