@@ -60,6 +60,7 @@ class ReplayStats:
     generations: int = 0
     wall_s: float = 0.0
     merge_s: float = 0.0
+    preimage_mismatches: int = 0
     per_window: list = field(default_factory=list)
 
     @property
@@ -200,6 +201,16 @@ class Engine:
 
             slice_df = self._read_window(gstart, w)
             fold = fold_batch(slice_df, self.table, pending, mode=self.cfg.mode)
+            if self.cfg.mode == "preimage":
+                # verify op-0 rows against state-before-change (replicator
+                # preimage mode, Main.java:653-672) BEFORE applying the batch
+                from ..operators.preimage import check_preimages
+
+                mism = check_preimages(
+                    slice_df, self.sink.read_physical(), self.table,
+                    range_tombs=fold.range_tombs,
+                )
+                stats.preimage_mismatches += mism.count()
             new_pending_rows = fold.pending_range_df.collect()
             new_pending = [
                 {
