@@ -92,11 +92,62 @@ def _cell_aggs(table: TableConfig, value_cols: list[str]) -> list[Column]:
     return aggs
 
 
+def _fold_keyed_pandas(keyed: DataFrame, pk: list[str], value_cols: list[str],
+                       marker_ops: list[int]) -> DataFrame:
+    """General-path fold: grouped Arrow ``applyInPandas`` replicating the
+    same LWW semantics per key (SURVEY.md section 7 'built-in vs custom':
+    SQL fast path + pandas general path, cross-checked in tests). This is
+    the extension point for types the SQL path can't fold — non-frozen
+    collections with per-element ``cdc$deleted_elements_`` merges
+    (replicator Main.java:203-276) would live here as
+    ``map_concat``-style numpy/pandas merges."""
+    import numpy as np
+    import pandas as pd
+
+    out_ddl = (
+        ", ".join(f"`{c}` string" for c in pk)
+        + ", "
+        + ", ".join(f"`{c}` string" for c in value_cols)
+        + ", "
+        + ", ".join(f"`_ts_{c}` long" for c in value_cols)
+        + f", `{COL_MARKER_TS}` long, `_row_tomb` long"
+    )
+    m_ops = set(marker_ops)
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf[COL_TS].to_numpy()
+        op = pdf[COL_OP].to_numpy()
+        res: dict = {c: pdf.iloc[0][c] for c in pk}
+        is_marker = np.isin(op, list(m_ops))
+        res[COL_MARKER_TS] = int(ts[is_marker].max()) if is_marker.any() else None
+        is_del = op == OP_ROW_DELETE
+        res["_row_tomb"] = int(ts[is_del].max()) if is_del.any() else None
+        for c in value_cols:
+            v = pdf[c]
+            d = pdf[deleted_col(c)].fillna(False).to_numpy(dtype=bool)
+            written = (~v.isna().to_numpy()) | d
+            written &= ~is_del
+            if written.any():
+                wts = ts[written]
+                i = int(np.argmax(wts))
+                idxs = np.flatnonzero(written)
+                win = idxs[i]
+                res[c] = None if d[win] else v.iloc[win]
+                res[f"_ts_{c}"] = int(ts[win])
+            else:
+                res[c] = None
+                res[f"_ts_{c}"] = None
+        return pd.DataFrame([res])
+
+    return keyed.groupBy(*pk).applyInPandas(_fold, schema=out_ddl)
+
+
 def fold_batch(
     log_df: DataFrame,
     table: TableConfig,
     pending_range_starts: list[dict] | None = None,
     mode: str = "delta",
+    impl: str = "sql",
 ) -> FoldResult:
     """Fold a normalized log slice (must already carry ``cdc$ts``).
 
@@ -151,24 +202,27 @@ def fold_batch(
                 ),
             )
 
-    aggs = _cell_aggs(table, value_cols)
-    aggs.append(
-        F.max(F.when(F.col(COL_OP).isin(marker_ops), F.col(COL_TS))).alias(
-            COL_MARKER_TS
+    if impl == "pandas":
+        key_state = _fold_keyed_pandas(keyed, pk, value_cols, marker_ops)
+    else:
+        aggs = _cell_aggs(table, value_cols)
+        aggs.append(
+            F.max(F.when(F.col(COL_OP).isin(marker_ops), F.col(COL_TS))).alias(
+                COL_MARKER_TS
+            )
         )
-    )
-    aggs.append(
-        F.max(F.when(F.col(COL_OP) == OP_ROW_DELETE, F.col(COL_TS))).alias(
-            "_row_tomb"
+        aggs.append(
+            F.max(F.when(F.col(COL_OP) == OP_ROW_DELETE, F.col(COL_TS))).alias(
+                "_row_tomb"
+            )
         )
-    )
-    key_state = keyed.groupBy(*pk).agg(*aggs)
-    # flatten cells into (value, _ts_<c>) pairs
-    for c in value_cols:
-        key_state = key_state.withColumn(c, F.col(f"__cell_{c}.v")).withColumn(
-            f"_ts_{c}", F.col(f"__cell_{c}.ts")
-        )
-    key_state = key_state.drop(*[f"__cell_{c}" for c in value_cols])
+        key_state = keyed.groupBy(*pk).agg(*aggs)
+        # flatten cells into (value, _ts_<c>) pairs
+        for c in value_cols:
+            key_state = key_state.withColumn(c, F.col(f"__cell_{c}.v")).withColumn(
+                f"_ts_{c}", F.col(f"__cell_{c}.ts")
+            )
+        key_state = key_state.drop(*[f"__cell_{c}" for c in value_cols])
 
     # --- partition tombstones (op 4): tiny per batch, broadcast later ----
     part_tombs = (

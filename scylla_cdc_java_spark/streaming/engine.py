@@ -200,7 +200,10 @@ class Engine:
                 continue
 
             slice_df = self._read_window(gstart, w)
-            fold = fold_batch(slice_df, self.table, pending, mode=self.cfg.mode)
+            fold = fold_batch(
+                slice_df, self.table, pending, mode=self.cfg.mode,
+                impl=self.cfg.extra.get("fold_impl", "sql"),
+            )
             if self.cfg.mode == "preimage":
                 # verify op-0 rows against state-before-change (replicator
                 # preimage mode, Main.java:653-672) BEFORE applying the batch
