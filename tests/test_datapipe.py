@@ -1,0 +1,140 @@
+"""Training-data pipeline operators: determinism + semantic sanity on
+the driver testdata (sf0.001)."""
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet")).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+def test_exact_dedup_finds_planted_duplicate(spark, docs):
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.datapipe import exact_dedup_groups
+
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+    out = exact_dedup_groups(docs.unionByName(dup)).where(F.col("n_dups") > 1)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n_dups"] == 2
+
+
+def test_minhash_lsh_detects_near_duplicate(spark, docs):
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.datapipe import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    # plant a near-dup: copy of doc 0 with a one-token prefix change
+    base = docs.where(F.col("doc_id") == 0)
+    near = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(near)
+    cand = minhash_lsh_candidates(corpus, bands=16)
+    planted = cand.where(
+        (F.col("id_a") == 0) & (F.col("id_b") == 100000)
+    ).collect()
+    assert planted, "planted near-duplicate not found by LSH"
+    jac = ngram_jaccard_pairs(corpus, cand.select("id_a", "id_b"))
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}
+    assert j[(0, 100000)] > 0.8
+
+
+def test_simhash_deterministic_and_close_for_near_dups(spark, docs):
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.datapipe import simhash_buckets
+
+    a = {r["doc_id"]: r["simhash"] for r in simhash_buckets(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_buckets(docs).collect()}
+    assert a == b  # deterministic
+    near = docs.where(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    s2 = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_buckets(docs.unionByName(near)).collect()
+    }
+    ham = bin(s2[1] ^ s2[100001] if 100001 in s2 else s2[1] ^ s2[100000]).count("1")
+    assert ham <= 12  # near-dup -> small Hamming distance
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.datapipe import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = cosine_topk_lsh(emb, queries, k=5).collect()
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    ap_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(bf_set & ap_set) / len(bf_set)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_quality_and_tokens_consistent(spark, docs):
+    from scylla_cdc_java_spark.datapipe import quality_metrics, token_counts
+
+    q = {r["doc_id"]: r for r in quality_metrics(docs).collect()}
+    t = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    for i, row in q.items():
+        assert row["n_words"] == t[i]["n_tokens"]
+        assert 0.0 <= row["alpha_ratio"] <= 1.0
+
+
+def test_multimodal_plumbing_schema_and_determinism(spark, docs):
+    from scylla_cdc_java_spark.datapipe import decode_stub_metadata
+    from scylla_cdc_java_spark.datapipe.multimodal import to_binary_assets
+
+    assets = to_binary_assets(docs)
+    assert dict(assets.dtypes)["asset"] == "binary"
+    m1 = sorted(decode_stub_metadata(assets).collect(), key=lambda r: r["doc_id"])
+    m2 = sorted(decode_stub_metadata(assets).collect(), key=lambda r: r["doc_id"])
+    assert m1 == m2
+    assert all(r["width"] >= 64 and r["n_frames"] >= 1 for r in m1)
+
+
+def test_fingerprints_shift_tolerant(spark, docs):
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.datapipe import doc_fingerprints
+
+    near = docs.where(F.col("doc_id") == 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("prefix "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    fp = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in doc_fingerprints(docs.unionByName(near)).collect()
+    }
+    a, b = fp[2], fp[100002 if 100002 in fp else 100000]
+    overlap = len(a & b) / max(1, len(a | b))
+    assert overlap > 0.5, f"fingerprint overlap too low: {overlap}"
