@@ -166,15 +166,22 @@ class ParquetMergeSink:
         ]
         value_cols = list(dict.fromkeys(m["value_columns"] + batch_vcols))
 
+        # the folded key state feeds three consumers (touched-bucket scan,
+        # the merge join, and the write) — cache the post-aggregation
+        # result (small: one row per touched key) instead of re-running
+        # the groupBy per action
         src = fold.key_state
         for c in value_cols:
             if c not in src.columns:
                 src = src.withColumn(c, F.lit(None).cast("string")).withColumn(
                     ts_col(c), F.lit(None).cast("long")
                 )
+        src = src.persist()
 
-        part_tombs = fold.part_tombs.withColumnRenamed("ts", "_pt_ts")
-        range_tombs = fold.range_tombs
+        # tombstone frames feed the touched-bucket scan AND their joins;
+        # persist so the lag()-pairing / groupBy behind them runs once
+        part_tombs = fold.part_tombs.withColumnRenamed("ts", "_pt_ts").persist()
+        range_tombs = fold.range_tombs.persist()
 
         # ---- touched buckets (tiny collect) ----------------------------
         touched_df = (
@@ -224,38 +231,37 @@ class ParquetMergeSink:
             "left",
         ).drop("_pt_repo")
 
-        # ---- range tombstones: semi-scoped non-equi join + max ---------
-        # ranges are rare; broadcast them, aggregate max ts per covered key
-        rt = range_tombs.select(
-            F.col(repo_col).alias("_rt_repo"),
-            "lo", "lo_incl", "hi", "hi_incl",
-            F.col("ts").alias("_rt_ts"),
-        )
-        covered = (
-            j.select(*pk)
-            .join(
-                F.broadcast(rt),
-                (F.col(repo_col) == F.col("_rt_repo"))
-                & (
-                    F.when(F.col("lo_incl"), F.col(path_col) >= F.col("lo")).otherwise(
-                        F.col(path_col) > F.col("lo")
-                    )
-                )
-                & (
-                    F.when(F.col("hi_incl"), F.col(path_col) <= F.col("hi")).otherwise(
-                        F.col(path_col) < F.col("hi")
-                    )
-                ),
-                "inner",
-            )
-            .groupBy(*pk)
-            .agg(F.max("_rt_ts").alias("_rt_ts"))
+        # ---- range tombstones: broadcast repo -> ranges ARRAY, resolve
+        # the applicable max ts as a pure expression (no extra shuffle,
+        # no row multiplication — a key covered by k ranges still yields
+        # one row; repos with ranges are few, so the array df is tiny)
+        rt_agg = range_tombs.groupBy(repo_col).agg(
+            F.collect_list(
+                F.struct("lo", "lo_incl", "hi", "hi_incl", "ts")
+            ).alias("_ranges")
         )
         j = j.join(
-            covered.select(*[F.col(c).alias(f"r_{c}") for c in pk], "_rt_ts"),
-            [F.col(c).eqNullSafe(F.col(f"r_{c}")) for c in pk],
+            F.broadcast(rt_agg.withColumnRenamed(repo_col, "_rt_repo")),
+            F.col(repo_col) == F.col("_rt_repo"),
             "left",
-        ).drop(*[f"r_{c}" for c in pk])
+        ).drop("_rt_repo")
+        in_range = lambda r: (  # noqa: E731
+            F.when(r["lo_incl"], F.col(path_col) >= r["lo"]).otherwise(
+                F.col(path_col) > r["lo"]
+            )
+            & F.when(r["hi_incl"], F.col(path_col) <= r["hi"]).otherwise(
+                F.col(path_col) < r["hi"]
+            )
+        )
+        j = j.withColumn(
+            "_rt_ts",
+            F.array_max(
+                F.transform(
+                    F.filter(F.coalesce("_ranges", F.array()), in_range),
+                    lambda r: r["ts"],
+                )
+            ),
+        ).drop("_ranges")
 
         # ---- resolution: monotone max over timestamps ------------------
         tomb = F.greatest(
@@ -317,6 +323,10 @@ class ParquetMergeSink:
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
+
+        src.unpersist()
+        part_tombs.unpersist()
+        range_tombs.unpersist()
 
         # ---- atomic manifest swap --------------------------------------
         new_buckets = dict(m["buckets"])

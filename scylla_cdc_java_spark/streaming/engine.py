@@ -199,7 +199,11 @@ class Engine:
                 time.sleep(self.cfg.poll_idle_s)
                 continue
 
-            slice_df = self._read_window(gstart, w)
+            # One window = one bounded slice (the reference's fetch window
+            # caps memory the same way). Persist it: the fold, tombstone
+            # extraction, pending-range collect and merge all derive from
+            # it — without the cache each action re-scans the parquet.
+            slice_df = self._read_window(gstart, w).persist()
             fold = fold_batch(
                 slice_df, self.table, pending, mode=self.cfg.mode,
                 impl=self.cfg.extra.get("fold_impl", "sql"),
@@ -260,6 +264,7 @@ class Engine:
                 "done": bool(w.last_window and is_last_gen),
             }
             mstats = self.sink.merge(fold, new_ckpt)
+            slice_df.unpersist()
 
             stats.windows += 1
             stats.rows += window_rows
