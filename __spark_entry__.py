@@ -271,6 +271,17 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline)."""
+    from scylla_cdc_java_spark.datapipe import embedding_neardup_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = embedding_neardup_bruteforce(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 # --- Spark-only (hash/UDF internals not ANSI-SQL-expressible) -------------
 
 def q_minhash_lsh(spark, sf_dir):
@@ -314,6 +325,56 @@ def q_ann_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, queries, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from scylla_cdc_java_spark.datapipe import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(emb, queries, k=5)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    from scylla_cdc_java_spark.datapipe import embedding_neardup_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_neardup_lsh(emb, threshold=0.35, n_planes=4)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing: blob -> frame rows (mapInPandas
+    row explosion); counts per doc are SQL-checkable via the stub's
+    deterministic n_frames = 1 + crc32 % 24 — kept rows-only here
+    because crc32 isn't ANSI SQL."""
+    from scylla_cdc_java_spark.datapipe import frame_sample_stub
+    from scylla_cdc_java_spark.datapipe.multimodal import to_binary_assets
+
+    frames = frame_sample_stub(to_binary_assets(_t(spark, sf_dir, "documents")))
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"), F.max("n_frames").alias("n_frames")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extraction plumbing: blob -> fixed-dim vector; projected
+    to checkable scalars (dim + l1 norm ~= 1)."""
+    from scylla_cdc_java_spark.datapipe import feature_extract_stub
+    from scylla_cdc_java_spark.datapipe.multimodal import to_binary_assets
+
+    feats = feature_extract_stub(to_binary_assets(_t(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 2).alias("l1"),
+    )
+
+
 def q_cdc_replay(spark, sf_dir):
     """The engine itself as a query: replay a deterministic world and
     return the final state (rows-only check; full golden checks live in
@@ -337,7 +398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "minhash_lsh": q_minhash_lsh,
         "dedup_verify_jaccard": q_dedup_verify_jaccard,
         "simhash": q_simhash,
@@ -477,6 +543,21 @@ def oracle_sql() -> dict[str, str]:
                                    when 1 then 'audio/wav'
                                    else 'video/mp4' end as format
             from documents
+        """,
+        "multimodal_features": """
+            select doc_id, 16 as dim,
+                   case when length(text) = 0 then 0.0 else 1.0 end as l1
+            from documents
+        """,
+        "embedding_neardup": """
+            with e as (
+                select vec_id, embedding::DOUBLE[] as v from embeddings
+            )
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) as cosine
+            from e a join e b on a.vec_id < b.vec_id
+            where list_cosine_similarity(a.v, b.v) >= 0.35
+            order by id_a, id_b
         """,
         "ann_cosine_topk": """
             with q as (

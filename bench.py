@@ -8,10 +8,13 @@ Prints ONE JSON line:
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 
---scaling additionally runs the SAME replay at local[N] and local[4N]
-(N = cpus/4) on the same input and reports throughput at both plus the
-scaling efficiency (the sandbox stand-in for the N vs 4N executor
-cluster rule — see BASELINE.md).
+--scaling additionally runs the SAME replay job on the SAME (larger)
+input at local[N] and local[4N] and reports throughput at both plus the
+scaling efficiency — the sandbox stand-in for the N vs 4N executor
+cluster rule (BASELINE.md). Measurement is steal-aware: this VM sees
+bursty host CPU steal (observed up to 2x wall inflation), so each level
+runs several warm iterations and keeps the fastest one whose steal share
+is low; per-iteration steal seconds are reported for transparency.
 """
 
 from __future__ import annotations
@@ -28,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
+# scaling runs use a larger world so compute dominates fixed per-window
+# cost (generated once, cached by spec hash)
+SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "30000000"))
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
 
 # headline query subset (the rest run in the correctness gate)
 BENCH_QUERIES = [
@@ -52,14 +59,13 @@ def _sf_of(path: str) -> float:
         return 0.1
 
 
-def _bench_spec(sf: float):
+def _spec(n_events: int):
     from scylla_cdc_java_spark import GenSpec
 
-    n = max(20_000, int(20_000_000 * sf))
     return GenSpec(
         seed=42,
-        n_events=n,
-        n_repos=max(200, int(n / 500)),
+        n_events=n_events,
+        n_repos=max(200, n_events // 500),
         n_orgs=50,
         paths_per_repo=64,
         n_generations=2,
@@ -70,45 +76,71 @@ def _bench_spec(sf: float):
     )
 
 
-def _replay_once(master_cores: int, info: dict, tag: str,
-                 shuffle_partitions: int | None = None) -> dict:
+def _steal_s() -> float:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
+
+
+def _replay_iters(spark, info: dict, cores: int, iters: int,
+                  steal_frac_ok: float = 0.10) -> dict:
+    """Run the replay `iters` times in a warm session (fresh target each
+    time); return the fastest low-steal iteration."""
     from scylla_cdc_java_spark import Engine, EngineConfig
+
+    n_rows = info["n_rows"]
+    results = []
+    for it in range(iters):
+        target = tempfile.mkdtemp(prefix=f"cdc_bench_t{cores}_{it}_")
+        try:
+            eng = Engine(
+                spark,
+                info["log_dir"],
+                info["generations_path"],
+                target,
+                cfg=EngineConfig(
+                    window_length_limit_ms=600_000,
+                    num_buckets=max(32, cores),
+                    shuffle_partitions=cores,
+                ),
+            )
+            s0, t0 = _steal_s(), time.time()
+            stats = eng.replay(collect_group_metrics=False)
+            wall = time.time() - t0
+            steal = _steal_s() - s0
+            results.append(
+                {
+                    "cores": cores,
+                    "events": n_rows,
+                    "wall_s": round(wall, 2),
+                    "events_per_sec": round(n_rows / wall, 1),
+                    "windows": stats.windows,
+                    "steal_s": round(steal, 1),
+                    "steal_frac": round(steal / (wall * cores), 3),
+                    "final_table_rows": eng.sink.read().count()
+                    if it == 0
+                    else None,
+                }
+            )
+        finally:
+            shutil.rmtree(target, ignore_errors=True)
+    clean = [r for r in results if r["steal_frac"] <= steal_frac_ok]
+    pool = clean or results
+    best = min(pool, key=lambda r: r["wall_s"])
+    best = dict(best)
+    best["iterations"] = [
+        {k: r[k] for k in ("wall_s", "steal_s")} for r in results
+    ]
+    return best
+
+
+def _session(cores: int):
     from scylla_cdc_java_spark.session import get_spark
 
-    spark = get_spark(
-        app=f"cdc-bench-{tag}",
-        master=f"local[{master_cores}]",
-        shuffle_partitions=shuffle_partitions or master_cores,
+    return get_spark(
+        app=f"cdc-bench-c{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
     )
-    target = tempfile.mkdtemp(prefix=f"cdc_bench_target_{tag}_")
-    try:
-        eng = Engine(
-            spark,
-            info["log_dir"],
-            info["generations_path"],
-            target,
-            cfg=EngineConfig(
-                window_length_limit_ms=600_000,
-                num_buckets=max(32, master_cores),
-                shuffle_partitions=shuffle_partitions or master_cores,
-            ),
-        )
-        t0 = time.time()
-        stats = eng.replay(collect_group_metrics=False)
-        wall = time.time() - t0
-        n_rows = info["n_rows"]
-        final_rows = eng.sink.read().count()
-        return {
-            "cores": master_cores,
-            "events": n_rows,
-            "wall_s": round(wall, 2),
-            "events_per_sec": round(n_rows / wall, 1),
-            "windows": stats.windows,
-            "final_table_rows": final_rows,
-        }
-    finally:
-        shutil.rmtree(target, ignore_errors=True)
-        spark.stop()
 
 
 def main() -> None:
@@ -117,20 +149,18 @@ def main() -> None:
 
     from scylla_cdc_java_spark import generate_to_dir
 
-    spec = _bench_spec(sf)
+    spec = _spec(max(20_000, int(20_000_000 * sf)))
     t_gen = time.time()
     info = generate_to_dir(spec, CACHE)
     gen_s = time.time() - t_gen
 
     # ---- headline: CDC replay at full parallelism --------------------
-    replay = _replay_once(CPUS, info, f"c{CPUS}")
+    spark = _session(CPUS)
+    replay = _replay_iters(spark, info, CPUS, iters=2)
 
-    # ---- operator queries --------------------------------------------
+    # ---- operator queries (same session) ------------------------------
     import __spark_entry__ as entrymod
-    from scylla_cdc_java_spark.session import get_spark
 
-    spark = get_spark(app="cdc-bench-queries", master=f"local[{CPUS}]",
-                      shuffle_partitions=CPUS)
     qtimes: dict[str, float] = {}
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
@@ -152,17 +182,25 @@ def main() -> None:
     }
 
     if scaling:
-        n_small = max(2, CPUS // 4)
-        small = _replay_once(n_small, info, f"c{n_small}")
-        big = replay
-        eff = (big["events_per_sec"] / small["events_per_sec"]) / (
-            CPUS / n_small
-        )
+        # the same job on the same (larger) input at N and 4N cores;
+        # warm JIT per level, fastest low-steal iteration kept
+        sinfo = generate_to_dir(_spec(SCALING_EVENTS), CACHE)
+        n, n4 = SCALING_N, SCALING_N * 4
+        spark = _session(n4)
+        big = _replay_iters(spark, sinfo, n4, iters=3)
+        spark.stop()
+        spark = _session(n)
+        small = _replay_iters(spark, sinfo, n, iters=3)
+        spark.stop()
+        eff = (big["events_per_sec"] / small["events_per_sec"]) / (n4 / n)
         out["scaling"] = {
-            "n_cores": n_small,
-            "n4_cores": CPUS,
+            "events": sinfo["n_rows"],
+            "n_cores": n,
+            "n4_cores": n4,
             "n_events_per_sec": small["events_per_sec"],
             "n4_events_per_sec": big["events_per_sec"],
+            "n_iterations": small["iterations"],
+            "n4_iterations": big["iterations"],
             "efficiency": round(eff, 3),
         }
 

@@ -15,10 +15,12 @@ from .generator import GenSpec, generate_to_dir, generate_world, write_world
 from .model import DEFAULT_TABLE, EngineConfig, TableConfig
 from .sinks.parquet_merge import ParquetMergeSink
 from .streaming.engine import Engine, ReplayStats
+from .streaming.stream_tail import StructuredTail
 
 __all__ = [
     "Engine",
     "ReplayStats",
+    "StructuredTail",
     "GenSpec",
     "generate_to_dir",
     "generate_world",

@@ -9,9 +9,20 @@ per-row Python.
 """
 
 from .dedup import exact_dedup_groups, minhash_lsh_candidates, ngram_jaccard_pairs, simhash_buckets
-from .similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from .similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_neardup_bruteforce,
+    embedding_neardup_lsh,
+)
 from .text import doc_fingerprints, lang_id_heuristic, quality_metrics, token_counts
-from .multimodal import decode_stub_metadata
+from .multimodal import (
+    decode_stub_metadata,
+    feature_extract_stub,
+    frame_sample_stub,
+    resize_stub,
+)
 
 __all__ = [
     "exact_dedup_groups",
@@ -19,10 +30,16 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_buckets",
     "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "embedding_neardup_bruteforce",
+    "embedding_neardup_lsh",
     "doc_fingerprints",
     "lang_id_heuristic",
     "quality_metrics",
     "token_counts",
     "decode_stub_metadata",
+    "feature_extract_stub",
+    "frame_sample_stub",
+    "resize_stub",
 ]

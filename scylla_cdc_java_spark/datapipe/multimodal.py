@@ -72,6 +72,95 @@ def decode_stub_metadata(assets: DataFrame, id_col: str = "doc_id") -> DataFrame
     return assets.mapInPandas(_decode, schema=META_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, asset binary, width int, height int, n_bytes int"
+)
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, n_frames int"
+
+FEATURE_DIM = 16
+FEATURES_SCHEMA = f"doc_id long, features array<float>"
+
+
+def resize_stub(assets: DataFrame, target_w: int = 224, target_h: int = 224,
+                id_col: str = "doc_id") -> DataFrame:
+    """Image-resize pass: binary -> binary with new dimensions. The
+    resample itself is stubbed (no PIL here) as a deterministic byte
+    subsample to exactly ``target_w*target_h/64`` bytes, but the Spark
+    plumbing is the real thing: ``mapInPandas`` over Arrow batches,
+    binary in / binary out, bounded memory per batch (cap
+    ``arrow.maxRecordsPerBatch`` low for real megapixel blobs)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = max(1, target_w * target_h // 64)
+        for pdf in batches:
+            out_blobs, dims = [], []
+            for b in pdf["asset"]:
+                b = bytes(b)
+                step = max(1, len(b) // n_out)
+                out_blobs.append(b[::step][:n_out])
+                dims.append((target_w, target_h))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "asset": out_blobs,
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "n_bytes": [len(b) for b in out_blobs],
+            })
+
+    return assets.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def frame_sample_stub(assets: DataFrame, every_n: int = 8,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Video frame-sampling pass: one binary blob -> several frame rows
+    (row explosion INSIDE mapInPandas, the shape a real ffmpeg-backed
+    sampler needs). Frames are deterministic byte slices standing in for
+    decoded frames; the per-asset frame count comes from the stub
+    decoder so it is stable for tests."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame": [], "n_frames": []}
+            for did, b in zip(pdf[id_col], pdf["asset"]):
+                b = bytes(b)
+                total = _fake_decode(b)["n_frames"]
+                picked = list(range(0, total, every_n)) or [0]
+                chunk = max(1, len(b) // max(total, 1))
+                for fi in picked:
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(fi)
+                    rows["frame"].append(b[fi * chunk:(fi + 1) * chunk])
+                    rows["n_frames"].append(total)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(_frames, schema=FRAMES_SCHEMA)
+
+
+def feature_extract_stub(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature-extraction pass: binary -> fixed-dim float vector (the
+    embedding-model slot). Stub: a 16-dim byte-histogram projection,
+    numpy-vectorized per Arrow batch — the exact batch shape a real
+    ONNX/torch encoder consumes (stacked uint8 tensor in, float32
+    matrix out)."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["asset"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM)[:FEATURE_DIM]
+                tot = max(hist.sum(), 1)
+                feats.append((hist / tot).astype(np.float32))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "features": feats,
+            })
+
+    return assets.mapInPandas(_feat, schema=FEATURES_SCHEMA)
+
+
 def decode_real(assets: DataFrame):  # pragma: no cover - env-gated
     """Where a real decoder integrates (PIL for images, etc.)."""
     try:

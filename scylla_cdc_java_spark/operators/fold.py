@@ -71,12 +71,16 @@ class FoldResult:
     pending_range_df: open range starts at batch end (op 5/6 without a
                 following end in this batch) — tiny; goes to checkpoint
                 (reference RangeTombstoneState, Main.java:491-531).
+    pending_end_df: range ends whose start has not arrived (possible
+                only under out-of-order streaming file delivery; always
+                empty for the chronological batch engine).
     """
 
     key_state: DataFrame
     part_tombs: DataFrame
     range_tombs: DataFrame
     pending_range_df: DataFrame
+    pending_end_df: DataFrame = None
 
 
 def _cell_aggs(table: TableConfig, value_cols: list[str]) -> list[Column]:
@@ -148,6 +152,7 @@ def fold_batch(
     pending_range_starts: list[dict] | None = None,
     mode: str = "delta",
     impl: str = "sql",
+    pending_range_ends: list[dict] | None = None,
 ) -> FoldResult:
     """Fold a normalized log slice (must already carry ``cdc$ts``).
 
@@ -232,12 +237,13 @@ def fold_batch(
     )
 
     # --- range tombstones (ops 5-8) --------------------------------------
-    range_tombs, pending_range_df = extract_range_tombstones(
-        df, table, pending_range_starts or []
+    range_tombs, pending_range_df, pending_end_df = extract_range_tombstones(
+        df, table, pending_range_starts or [], pending_range_ends or []
     )
     return FoldResult(
         key_state=key_state,
         part_tombs=part_tombs,
         range_tombs=range_tombs,
         pending_range_df=pending_range_df,
+        pending_end_df=pending_end_df,
     )

@@ -38,9 +38,19 @@ from ..model import (
 )
 
 
-def pair_range_bounds(range_df: DataFrame, table: TableConfig) -> tuple[DataFrame, DataFrame]:
+def pair_range_bounds(
+    range_df: DataFrame, table: TableConfig
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """range_df: only ops 5-8, columns [stream_id, ts, op, part_key...,
-    clustering col]. Returns (closed_ranges, pending_starts)."""
+    clustering col]. Returns (closed_ranges, pending_starts,
+    pending_ends).
+
+    pending_ends exist only under out-of-order *batch* delivery (the
+    Structured Streaming file source may hand a later file first): an
+    END whose START has not arrived yet is carried over and paired when
+    the START shows up — the mirror image of the reference's
+    start-carryover (Main.java:491-531), which only needs one direction
+    because its windows are chronological."""
     ck = table.clustering_key[0]
     part_key = list(table.partition_key)
 
@@ -77,16 +87,34 @@ def pair_range_bounds(range_df: DataFrame, table: TableConfig) -> tuple[DataFram
             F.col(COL_TS).alias("ts"),
         )
     )
-    return closed, pending
+    pending_ends = (
+        paired.where(
+            F.col(COL_OP).isin(list(RANGE_END_OPS))
+            & (
+                F.col("_prev_op").isNull()
+                | F.col("_prev_op").isin(list(RANGE_END_OPS))
+            )
+        )
+        .select(
+            COL_STREAM_ID,
+            *part_key,
+            F.col(ck).alias("hi"),
+            (F.col(COL_OP) == OP_RANGE_DELETE_END_INCLUSIVE).alias("hi_incl"),
+            F.col(COL_TS).alias("ts"),
+        )
+    )
+    return closed, pending, pending_ends
 
 
 def extract_range_tombstones(
     log_df: DataFrame,
     table: TableConfig,
     pending_range_starts: list[dict],
-) -> tuple[DataFrame, DataFrame]:
+    pending_range_ends: list[dict] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Filter ops 5-8 out of a normalized batch, inject checkpointed
-    pending starts, pair, and split closed ranges from new carryover."""
+    pending starts (and, for out-of-order streaming delivery, pending
+    ends), pair, and split closed ranges from new carryover."""
     ck = table.clustering_key[0]
     part_key = list(table.partition_key)
     cols = [COL_STREAM_ID, COL_TS, COL_OP, *part_key, ck]
@@ -94,28 +122,40 @@ def extract_range_tombstones(
         F.col(COL_OP).isin(list(RANGE_START_OPS) + list(RANGE_END_OPS))
     ).select(*cols)
 
-    if pending_range_starts:
-        spark = log_df.sparkSession
-        rows = [
-            (
-                p["stream_id"],
-                int(p["ts"]),
-                int(
-                    OP_RANGE_DELETE_START_INCLUSIVE
-                    if p["lo_incl"]
-                    else OP_RANGE_DELETE_START_INCLUSIVE + 1
-                ),
-                *[p[k] for k in part_key],
-                p["lo"],
-            )
-            for p in pending_range_starts
-        ]
+    inj_rows = [
+        (
+            p["stream_id"],
+            int(p["ts"]),
+            int(
+                OP_RANGE_DELETE_START_INCLUSIVE
+                if p["lo_incl"]
+                else OP_RANGE_DELETE_START_INCLUSIVE + 1
+            ),
+            *[p[k] for k in part_key],
+            p["lo"],
+        )
+        for p in pending_range_starts
+    ] + [
+        (
+            p["stream_id"],
+            int(p["ts"]),
+            int(
+                OP_RANGE_DELETE_END_INCLUSIVE
+                if p["hi_incl"]
+                else OP_RANGE_DELETE_END_INCLUSIVE + 1
+            ),
+            *[p[k] for k in part_key],
+            p["hi"],
+        )
+        for p in (pending_range_ends or [])
+    ]
+    if inj_rows:
         schema_ddl = (
             f"`{COL_STREAM_ID}` binary, `{COL_TS}` long, `{COL_OP}` tinyint, "
             + ", ".join(f"`{k}` string" for k in part_key)
             + f", `{ck}` string"
         )
-        inj = spark.createDataFrame(rows, schema=schema_ddl)
+        inj = log_df.sparkSession.createDataFrame(inj_rows, schema=schema_ddl)
         range_df = inj.unionByName(range_df)
 
     return pair_range_bounds(range_df, table)

@@ -34,8 +34,20 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Local-FS efficiency: the sandbox has no native Hadoop lib, so the
+        # default ChecksumFileSystem doubles every file create (.crc twins)
+        # and shells out (fork+exec of an 8-16 GB JVM) for chmod on commit
+        # paths — measured as a 32-thread fork/file-op storm that inflates
+        # system CPU ~6x. Raw local FS + committer v2 + no summary files
+        # cut the per-file metadata ops. On a real cluster (HDFS/S3/Iceberg
+        # catalog) none of these matter — they are local-mode hygiene.
+        .config("spark.hadoop.fs.file.impl",
+                "org.apache.hadoop.fs.RawLocalFileSystem")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                "2")
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -63,6 +63,21 @@ NEG_INF = -1
 BUCKET_COL = "__bucket"
 
 
+def _phase_marker(t0: float):
+    """Env-gated merge-phase timer (CDC_MERGE_DEBUG=1): prints elapsed
+    time between phases for bench forensics; no-op otherwise."""
+    if not os.environ.get("CDC_MERGE_DEBUG"):
+        return lambda label: None
+    last = [t0]
+
+    def mark(label: str) -> None:
+        now = time.time()
+        print(f"  [merge] {label}: {now - last[0]:.2f}s", flush=True)
+        last[0] = now
+
+    return mark
+
+
 class ParquetMergeSink:
     def __init__(
         self,
@@ -152,6 +167,7 @@ class ParquetMergeSink:
     def merge(self, fold: FoldResult, checkpoint: dict | None = None) -> dict:
         """Apply one folded batch; returns commit stats."""
         t0 = time.time()
+        _mark = _phase_marker(t0)
         m = self.manifest()
         spark = self.spark
         tbl = self.table
@@ -191,6 +207,7 @@ class ParquetMergeSink:
             .distinct()
         )
         touched = sorted(r["b"] for r in touched_df.collect())
+        _mark("touched collect (materializes fold+tombs)")
         if not touched:
             new_manifest = dict(m)
             new_manifest["checkpoint"] = checkpoint
@@ -308,6 +325,7 @@ class ParquetMergeSink:
         )
 
         # ---- write: per-bucket version dirs, salted shuffle ------------
+        _mark("plan construction")
         version = m["version"] + 1
         rel_out = os.path.join("data", f"v{version}")
         staging = os.path.join(self.path, rel_out)
@@ -323,6 +341,7 @@ class ParquetMergeSink:
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
+        _mark("join+write")
 
         src.unpersist()
         part_tombs.unpersist()

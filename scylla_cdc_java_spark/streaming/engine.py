@@ -200,10 +200,14 @@ class Engine:
                 continue
 
             # One window = one bounded slice (the reference's fetch window
-            # caps memory the same way). Persist it: the fold, tombstone
-            # extraction, pending-range collect and merge all derive from
-            # it — without the cache each action re-scans the parquet.
-            slice_df = self._read_window(gstart, w).persist()
+            # caps memory the same way). NOT cached by default: each
+            # consumer re-scans the parquet with its own opcode/column
+            # pushdown (the tombstone passes touch only ops 4-8 row
+            # groups), which measured faster than materializing the full
+            # slice — opt back in with extra={"persist_slice": True}.
+            slice_df = self._read_window(gstart, w)
+            if self.cfg.extra.get("persist_slice", False):
+                slice_df = slice_df.persist()
             fold = fold_batch(
                 slice_df, self.table, pending, mode=self.cfg.mode,
                 impl=self.cfg.extra.get("fold_impl", "sql"),
@@ -264,7 +268,8 @@ class Engine:
                 "done": bool(w.last_window and is_last_gen),
             }
             mstats = self.sink.merge(fold, new_ckpt)
-            slice_df.unpersist()
+            if self.cfg.extra.get("persist_slice", False):
+                slice_df.unpersist()
 
             stats.windows += 1
             stats.rows += window_rows

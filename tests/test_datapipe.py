@@ -138,3 +138,61 @@ def test_fingerprints_shift_tolerant(spark, docs):
     a, b = fp[2], fp[100002 if 100002 in fp else 100000]
     overlap = len(a & b) / max(1, len(a | b))
     assert overlap > 0.5, f"fingerprint overlap too low: {overlap}"
+
+
+def test_embedding_neardup_lsh_subset_of_bruteforce(spark, emb):
+    from scylla_cdc_java_spark.datapipe import (
+        embedding_neardup_bruteforce,
+        embedding_neardup_lsh,
+    )
+
+    bf = {(r["id_a"], r["id_b"]) for r in
+          embedding_neardup_bruteforce(emb, threshold=0.3).collect()}
+    assert bf, "no near-dup pairs at threshold 0.3"
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_neardup_lsh(emb, threshold=0.3, n_planes=4).collect()}
+    assert lsh <= bf  # exact-verify step => no false positives
+    assert len(lsh) / len(bf) >= 0.3, "LSH recall collapsed"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, emb):
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.datapipe import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    ivf = cosine_topk_ivf(emb, queries, k=5, n_lists=8, nprobe=4).collect()
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    iv_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(bf_set & iv_set) / len(bf_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_multimodal_resize_and_frames_and_features(spark, docs):
+    from scylla_cdc_java_spark.datapipe import (
+        feature_extract_stub,
+        frame_sample_stub,
+        resize_stub,
+    )
+    from scylla_cdc_java_spark.datapipe.multimodal import to_binary_assets
+
+    assets = to_binary_assets(docs.limit(50))
+    rs = resize_stub(assets, target_w=64, target_h=64).collect()
+    assert all(r["width"] == 64 and r["height"] == 64 for r in rs)
+    assert all(r["n_bytes"] == len(bytes(r["asset"])) for r in rs)
+
+    fr = frame_sample_stub(assets, every_n=4)
+    per_doc = fr.groupBy("doc_id").count().collect()
+    assert len(per_doc) == 50  # every asset yields >=1 frame row
+    one = fr.where("doc_id = 0").collect()
+    assert all(r["frame_idx"] % 4 == 0 for r in one)
+
+    ft = feature_extract_stub(assets).collect()
+    assert all(len(r["features"]) == 16 for r in ft)
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-3 for r in ft)
