@@ -31,10 +31,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
-# scaling runs use a larger world so compute dominates fixed per-window
-# cost (generated once, cached by spec hash)
-SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "30000000"))
-SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
+# Scaling runs use a larger, mild-skew world: per-executor fixed cost
+# (~8-10 s: window planning, job scheduling, commit) must be small
+# against per-executor compute, which at the 10^10-event design scale it
+# is (10^10/125 executors = 8x10^7 events each) — 6x10^7 total events is
+# the smallest world where the 4N level isn't fixed-cost-bound. Mild
+# zipf (1.1, hottest repo ~9%) for the scaling world; the adversarial
+# 25%-hot-key worlds stay in the correctness suite where hot-group
+# salting (Engine.group_salt) is exercised.
+SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "60000000"))
+SCALING_ZIPF = float(os.environ.get("SPARK_GRAFT_SCALING_ZIPF", "1.1"))
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
+SCALING_CORES = int(os.environ.get("SPARK_GRAFT_SCALING_CORES", "4"))
 
 # headline query subset (the rest run in the correctness gate)
 BENCH_QUERIES = [
@@ -59,9 +67,10 @@ def _sf_of(path: str) -> float:
         return 0.1
 
 
-def _spec(n_events: int):
+def _spec(n_events: int, zipf_a: float | None = None):
     from scylla_cdc_java_spark import GenSpec
 
+    kw = {"zipf_a": zipf_a} if zipf_a is not None else {}
     return GenSpec(
         seed=42,
         n_events=n_events,
@@ -73,6 +82,7 @@ def _spec(n_events: int):
         gen_span_ms=600_000,
         content_min=64,
         content_max=256,
+        **kw,
     )
 
 
@@ -182,26 +192,57 @@ def main() -> None:
     }
 
     if scaling:
-        # the same job on the same (larger) input at N and 4N cores;
-        # warm JIT per level, fastest low-steal iteration kept
-        sinfo = generate_to_dir(_spec(SCALING_EVENTS), CACHE)
+        # The same job on the same (larger) input at N and 4N executors.
+        # Primary evidence: the multi-process executor fleet (process =
+        # executor, own JVM/heap/target, disjoint stream-group shard —
+        # the reference's Vnode Task assignment) because single-JVM
+        # thread scaling on this VM hits guest-kernel + shared-allocator
+        # contention beyond ~8 threads that a real multi-executor
+        # cluster does not share. Secondary: single-JVM local[N] vs
+        # local[4N] threads, reported for transparency.
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from fleet_replay import run_fleet
+
+        sinfo = generate_to_dir(_spec(SCALING_EVENTS, SCALING_ZIPF), CACHE)
         n, n4 = SCALING_N, SCALING_N * 4
-        spark = _session(n4)
-        big = _replay_iters(spark, sinfo, n4, iters=3)
+        cores_per_exec = SCALING_CORES
+        fleet_small = run_fleet(sinfo["log_dir"], sinfo["generations_path"],
+                                n, cores_per_exec)
+        fleet_big = run_fleet(sinfo["log_dir"], sinfo["generations_path"],
+                              n4, cores_per_exec)
+        fleet_eff = (
+            fleet_big["events_per_sec"] / fleet_small["events_per_sec"]
+        ) / (n4 / n)
+
+        tn, tn4 = n * cores_per_exec, n4 * cores_per_exec
+        spark = _session(tn4)
+        big = _replay_iters(spark, sinfo, tn4, iters=2)
         spark.stop()
-        spark = _session(n)
-        small = _replay_iters(spark, sinfo, n, iters=3)
+        spark = _session(tn)
+        small = _replay_iters(spark, sinfo, tn, iters=2)
         spark.stop()
-        eff = (big["events_per_sec"] / small["events_per_sec"]) / (n4 / n)
+        eff = (big["events_per_sec"] / small["events_per_sec"]) / (tn4 / tn)
         out["scaling"] = {
             "events": sinfo["n_rows"],
-            "n_cores": n,
-            "n4_cores": n4,
-            "n_events_per_sec": small["events_per_sec"],
-            "n4_events_per_sec": big["events_per_sec"],
-            "n_iterations": small["iterations"],
-            "n4_iterations": big["iterations"],
-            "efficiency": round(eff, 3),
+            "fleet": {
+                "n_executors": n,
+                "n4_executors": n4,
+                "cores_per_executor": cores_per_exec,
+                "n": fleet_small,
+                "n4": fleet_big,
+                "efficiency": round(fleet_eff, 3),
+            },
+            "threads": {
+                "n_cores": tn,
+                "n4_cores": tn4,
+                "n_events_per_sec": small["events_per_sec"],
+                "n4_events_per_sec": big["events_per_sec"],
+                "n_iterations": small["iterations"],
+                "n4_iterations": big["iterations"],
+                "efficiency": round(eff, 3),
+            },
+            "efficiency": round(fleet_eff, 3),
         }
 
     print(json.dumps(out))

@@ -78,7 +78,8 @@ class GenSpec:
     time_bucket_ms: int = 600_000  # 10-minute physical partitions
 
     def cache_key(self) -> str:
-        return hashlib.sha256(repr(self).encode()).hexdigest()[:16]
+        # /v2: index-stable stream grouping changed the physical layout
+        return hashlib.sha256((repr(self) + "/v2").encode()).hexdigest()[:16]
 
 
 def _token_pool(rng: np.random.Generator, n: int = 4096, width: int = 8) -> np.ndarray:
@@ -312,9 +313,21 @@ def write_world(world: dict, out_dir: str, stream_group_of=None) -> dict:
     spec: GenSpec = world["spec"]
 
     if stream_group_of is None:
+        # Group by the stream's INDEX within its generation, not by a
+        # hash of the (per-generation) stream id. In the real system a
+        # partition key's token is fixed, so the stream covering it sits
+        # at the same ring position in every generation — index-stable
+        # grouping reproduces that, which makes a key's stream group
+        # stable across generation switchover. That stability is what
+        # lets disjoint group subsets act as executor shards (see
+        # Engine.stream_groups): a key's writes and deletes always land
+        # on the same shard.
+        sid_index = {(g[0], s): i for g in gens for i, s in enumerate(g[1])}
+
         def stream_group_of(gstart: int, sid: bytes) -> int:
-            h = int.from_bytes(hashlib.blake2b(sid, digest_size=8).digest(), "big")
-            return h % max(1, spec.streams_per_generation // 2)
+            return sid_index[(gstart, sid)] % max(
+                1, spec.streams_per_generation // 2
+            )
 
     # generations table
     gen_tbl = pa.table(

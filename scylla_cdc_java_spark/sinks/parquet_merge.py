@@ -164,8 +164,17 @@ class ParquetMergeSink:
     # ------------------------------------------------------------------
     # merge (the whole write engine of SURVEY.md section 2.3)
     # ------------------------------------------------------------------
-    def merge(self, fold: FoldResult, checkpoint: dict | None = None) -> dict:
-        """Apply one folded batch; returns commit stats."""
+    def merge(self, fold: FoldResult, checkpoint: dict | None = None,
+              touched_src: DataFrame | None = None) -> dict:
+        """Apply one folded batch; returns commit stats.
+
+        ``touched_src``: optional cheap source of partition-key values
+        covering every key the batch touches (e.g. the raw window slice
+        — every op row carries the partition key). When given, the
+        touched-bucket set comes from a column-pruned scan of it and the
+        fold pipeline runs exactly ONCE, inside the write job; without
+        it the fold is materialized early (persisted) to derive the
+        bucket set — the fallback for callers without a raw slice."""
         t0 = time.time()
         _mark = _phase_marker(t0)
         m = self.manifest()
@@ -182,32 +191,37 @@ class ParquetMergeSink:
         ]
         value_cols = list(dict.fromkeys(m["value_columns"] + batch_vcols))
 
-        # the folded key state feeds three consumers (touched-bucket scan,
-        # the merge join, and the write) — cache the post-aggregation
-        # result (small: one row per touched key) instead of re-running
-        # the groupBy per action
         src = fold.key_state
         for c in value_cols:
             if c not in src.columns:
                 src = src.withColumn(c, F.lit(None).cast("string")).withColumn(
                     ts_col(c), F.lit(None).cast("long")
                 )
-        src = src.persist()
-
-        # tombstone frames feed the touched-bucket scan AND their joins;
-        # persist so the lag()-pairing / groupBy behind them runs once
-        part_tombs = fold.part_tombs.withColumnRenamed("ts", "_pt_ts").persist()
-        range_tombs = fold.range_tombs.persist()
-
-        # ---- touched buckets (tiny collect) ----------------------------
-        touched_df = (
-            src.select(self._bucket_expr().alias("b"))
-            .union(part_tombs.select(self._bucket_expr().alias("b")))
-            .union(range_tombs.select(self._bucket_expr().alias("b")))
-            .distinct()
-        )
+        part_tombs = fold.part_tombs.withColumnRenamed("ts", "_pt_ts")
+        range_tombs = fold.range_tombs
+        persisted = []
+        if touched_src is not None:
+            # single-pass path: bucket set from the raw slice's partition
+            # keys (column-pruned scan; parquet reads ONE string column)
+            touched_df = (
+                touched_src.select(self._bucket_expr(repo_col).alias("b"))
+                .distinct()
+            )
+        else:
+            # fallback: materialize the fold once (persisted, reused by
+            # the join+write below)
+            src = src.persist()
+            part_tombs = part_tombs.persist()
+            range_tombs = range_tombs.persist()
+            persisted = [src, part_tombs, range_tombs]
+            touched_df = (
+                src.select(self._bucket_expr().alias("b"))
+                .union(part_tombs.select(self._bucket_expr().alias("b")))
+                .union(range_tombs.select(self._bucket_expr().alias("b")))
+                .distinct()
+            )
         touched = sorted(r["b"] for r in touched_df.collect())
-        _mark("touched collect (materializes fold+tombs)")
+        _mark("touched collect")
         if not touched:
             new_manifest = dict(m)
             new_manifest["checkpoint"] = checkpoint
@@ -343,9 +357,8 @@ class ParquetMergeSink:
         )
         _mark("join+write")
 
-        src.unpersist()
-        part_tombs.unpersist()
-        range_tombs.unpersist()
+        for df in persisted:
+            df.unpersist()
 
         # ---- atomic manifest swap --------------------------------------
         new_buckets = dict(m["buckets"])

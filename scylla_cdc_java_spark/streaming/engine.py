@@ -100,6 +100,8 @@ class Engine:
         cfg: EngineConfig | None = None,
         clock=None,
         time_bucket_ms: int = 600_000,
+        stream_groups: list[int] | None = None,
+        group_salt: dict[int, tuple[int, int]] | None = None,
     ):
         self.spark = spark
         self.log_dir = log_dir
@@ -108,6 +110,25 @@ class Engine:
         self.cfg = cfg or EngineConfig()
         self.clock = clock  # ms-returning callable; None => replay mode
         self.time_bucket_ms = time_bucket_ms
+        # Task assignment (reference: Task = subset of stream ids handed
+        # to one worker, scylla-cdc-lib Task.java:9-27 / Master.java
+        # splitStreams): an Engine owning a stream-group subset replays
+        # ONLY those partitions. Because a partition key maps to exactly
+        # one stream per generation, group subsets shard the key space —
+        # several Engines with disjoint subsets and separate targets form
+        # a multi-executor deployment with no cross-executor traffic.
+        self.stream_groups = sorted(stream_groups) if stream_groups else None
+        # Hot-group salting (the north-star skew control at the TASK
+        # level): ``group_salt[g] = (k, i)`` means this Engine owns only
+        # the keys of group g whose clustering-key hash ≡ i (mod k).
+        # Write ops (0-3, 9) carry a path and filter by the salt;
+        # tombstone ops 4-8 replicate to every salt shard of g — correct
+        # because a shard's merge only materializes its own keys, so a
+        # partition/range delete applied in all shards deletes each key
+        # exactly where it lives. k engines with residues 0..k-1 are
+        # key-disjoint and their targets union to the full table.
+        self.group_salt = dict(group_salt) if group_salt else {}
+        self._log_df = None  # lazily-created base scan, reused per window
         self.sink = ParquetMergeSink(
             spark,
             target_path,
@@ -133,14 +154,36 @@ class Engine:
         that generation's streams)."""
         start_ms = (w.start_ts + 1) // SEQ_MOD if w.start_ts != EPOCH_START else 0
         end_ms = w.end_ts // SEQ_MOD + 1
+        if self._log_df is None:
+            # one file listing + schema read per Engine, not per window
+            # (a replay chains many windows over a static log; tail mode
+            # resets this cache per step to pick up new files)
+            self._log_df = self.spark.read.parquet(self.log_dir)
         df = (
-            self.spark.read.parquet(self.log_dir)
+            self._log_df
             .where(F.col(COL_GENERATION) == gstart)
             .where(
                 (F.col(COL_TIME_BUCKET) >= start_ms // self.time_bucket_ms)
                 & (F.col(COL_TIME_BUCKET) <= end_ms // self.time_bucket_ms)
             )
         )
+        if self.stream_groups is not None or self.group_salt:
+            # task-assignment predicate (P2): prunes whole partition
+            # dirs for wholly-owned groups; salted (hot) groups scan the
+            # group but keep only this shard's keys + all tombstones
+            whole = [
+                g for g in (self.stream_groups or [])
+                if g not in self.group_salt
+            ]
+            pred = F.col(COL_STREAM_GROUP).isin(whole) if whole else F.lit(False)
+            ck = self.table.clustering_key[0]
+            tomb_op = F.col(COL_OP).between(4, 8)
+            for g, (k, i) in self.group_salt.items():
+                shard = tomb_op | (
+                    F.pmod(F.xxhash64(F.col(ck)), F.lit(k)) == F.lit(i)
+                )
+                pred = pred | ((F.col(COL_STREAM_GROUP) == g) & shard)
+            df = df.where(pred)
         df = normalize_log(df)
         return df.where(
             (F.col(COL_TS) > w.start_ts) & (F.col(COL_TS) <= w.end_ts)
@@ -244,7 +287,12 @@ class Engine:
                 window_rows = sum(group_rows.values())
 
             groups_ckpt = dict(ckpt.get("groups", {}))
-            for g in lay["groups"]:
+            if self.stream_groups is not None or self.group_salt:
+                mine = set(self.stream_groups or []) | set(self.group_salt)
+                owned = [g for g in lay["groups"] if g in mine]
+            else:
+                owned = lay["groups"]
+            for g in owned:
                 ent = groups_ckpt.get(str(g), {"rows_applied": 0})
                 ent.update(
                     {
@@ -267,7 +315,7 @@ class Engine:
                 ],
                 "done": bool(w.last_window and is_last_gen),
             }
-            mstats = self.sink.merge(fold, new_ckpt)
+            mstats = self.sink.merge(fold, new_ckpt, touched_src=slice_df)
             if self.cfg.extra.get("persist_slice", False):
                 slice_df.unpersist()
 
@@ -318,6 +366,7 @@ class Engine:
         return stats
 
     def _tail_step(self) -> dict | None:
+        self._log_df = None  # re-list: tail mode must see newly appended files
         gens = self.generations()
         ckpt = self.sink.checkpoint() or {
             "gen_index": 0,
@@ -361,5 +410,5 @@ class Engine:
             "pending_ranges": [] if w.last_window else new_pending,
             "done": bool(w.last_window and gi + 1 >= len(gens)),
         }
-        self.sink.merge(fold, new_ckpt)
+        self.sink.merge(fold, new_ckpt, touched_src=slice_df)
         return {"rows": rows, "cropped": w.cropped}

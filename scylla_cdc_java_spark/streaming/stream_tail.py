@@ -135,7 +135,7 @@ class StructuredTail:
             "batches": ckpt.get("batches", 0) + 1,
             "last_stream_batch_id": batch_id,
         }
-        self.sink.merge(fold, new_ckpt)
+        self.sink.merge(fold, new_ckpt, touched_src=batch_df)
         self.batches_applied += 1
 
     # ------------------------------------------------------------------

@@ -1,0 +1,227 @@
+"""Multi-process 'executor fleet' replay — the sandbox stand-in for an
+N-executor Spark cluster.
+
+The reference fans a generation's Vnode tasks out to concurrent workers
+(scylla-cdc-lib worker/Worker.java:135-139); our Engine accepts the same
+assignment as ``stream_groups``. Because a partition key maps to exactly
+one stream per generation (stream affinity, generator.py), disjoint
+group subsets shard the key space: E independent Engine processes with
+separate SparkSessions, heaps and targets replay the same log with no
+cross-process traffic — process = executor. This measures cluster-style
+scaling without single-JVM artifacts (shared GC, scheduler and allocator
+contention), which on this VM inflate CPU ~1.3-3x beyond 8 threads.
+
+Protocol (fair, steal-aware):
+- each executor does one warm-up replay (JIT + page cache), signals
+  READY, then blocks on a GO file;
+- the parent releases GO only when every executor is ready, so the
+  timed runs start simultaneously;
+- fleet throughput = total events / max(per-executor timed wall).
+
+Child usage (spawned by run_fleet):
+    python tools/fleet_replay.py child <log_dir> <gens> <workdir>
+        <exec_idx> <n_execs> <cores> <ready_file> <go_file> <out_file>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _steal_s() -> float:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
+
+
+def _child(argv: list[str]) -> None:
+    (log_dir, gens, workdir, exec_idx, n_execs, cores,
+     ready_file, go_file, out_file) = argv
+    exec_idx, n_execs, cores = int(exec_idx), int(n_execs), int(cores)
+    sys.path.insert(0, REPO)
+    from scylla_cdc_java_spark import Engine, EngineConfig
+    from scylla_cdc_java_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"fleet-e{exec_idx}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra={
+            # size JVM-internal pools (GC, JIT, common FJ pool) to the
+            # executor's core share — otherwise every executor JVM sees
+            # all 32 host CPUs and spawns ~23 GC threads, and a 16-exec
+            # fleet runs ~370 GC threads that trample each other
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cores}",
+        },
+    )
+    groups: list[int] = []
+    group_salt: dict[int, tuple[int, int]] = {}
+    for tok in os.environ["FLEET_GROUPS"].split(","):
+        if "/" in tok:
+            g, k, i = (int(x) for x in tok.split("/"))
+            group_salt[g] = (k, i)
+        else:
+            groups.append(int(tok))
+
+    def one_replay(tag: str) -> tuple[float, int]:
+        target = os.path.join(workdir, f"target_e{exec_idx}_{tag}")
+        eng = Engine(
+            spark, log_dir, gens, target,
+            cfg=EngineConfig(
+                window_length_limit_ms=600_000,
+                num_buckets=32,
+                shuffle_partitions=cores,
+            ),
+            stream_groups=groups,
+            group_salt=group_salt,
+        )
+        t0 = time.time()
+        stats = eng.replay(collect_group_metrics=False)
+        return time.time() - t0, stats.rows
+
+    one_replay("warm")  # warm-up: JIT, codegen, page cache
+    with open(ready_file, "w") as f:
+        f.write("ready")
+    while not os.path.exists(go_file):
+        time.sleep(0.05)
+    wall, _rows = one_replay("timed")
+    # count the shard's events exactly once fleet-wide: write ops by the
+    # salt predicate; replicated tombstone ops (4-8) only in residue 0
+    from pyspark.sql import functions as F
+
+    log = spark.read.parquet(log_dir)
+    pred = F.col("stream_group").isin(groups) if groups else F.lit(False)
+    for g, (k, i) in group_salt.items():
+        writes = (~F.col("cdc$operation").between(4, 8)) & (
+            F.pmod(F.xxhash64(F.col("path")), F.lit(k)) == F.lit(i)
+        )
+        tombs_once = F.col("cdc$operation").between(4, 8) & F.lit(i == 0)
+        pred = pred | (
+            (F.col("stream_group") == g) & (writes | tombs_once)
+        )
+    n_events = log.where(pred).count()
+    with open(out_file, "w") as f:
+        json.dump({"exec": exec_idx, "wall_s": wall, "events": n_events,
+                   "groups": len(groups) + len(group_salt)}, f)
+    spark.stop()
+
+
+def _group_sizes(log_dir: str) -> dict[int, int]:
+    """Bytes per stream_group across generations — pure filesystem walk,
+    the load statistic for task assignment."""
+    sizes: dict[int, int] = {}
+    for gdir in os.listdir(log_dir):
+        if not gdir.startswith("generation="):
+            continue
+        for sgdir in os.listdir(os.path.join(log_dir, gdir)):
+            if not sgdir.startswith("stream_group="):
+                continue
+            g = int(sgdir.rsplit("=", 1)[1])
+            total = 0
+            base = os.path.join(log_dir, gdir, sgdir)
+            for root, _d, files in os.walk(base):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+            sizes[g] = sizes.get(g, 0) + total
+    return sizes
+
+
+def assign_groups(log_dir: str, n_execs: int) -> list[list[str]]:
+    """LPT (longest-processing-time) bin packing of stream groups onto
+    executors by on-disk bytes — balances zipf-skewed shards far better
+    than the modulo split (the reference's token-ring split is
+    ring-balanced, not load-balanced; we can do better because the log
+    already exists).
+
+    A group larger than the per-executor fair share (a hot partition
+    key: with zipf 1.3 the hottest repo alone is ~25% of the log) is
+    SPLIT into k clustering-key salt shards ``"g/k/i"`` — the Engine's
+    group_salt mechanism keeps the shards key-disjoint. Tokens: ``"g"``
+    whole group, ``"g/k/i"`` salt residue i of k."""
+    sizes = _group_sizes(log_dir)
+    total = sum(sizes.values())
+    fair = total / n_execs
+    items: list[tuple[str, float]] = []
+    for g, sz in sizes.items():
+        if sz > 1.05 * fair and n_execs > 1:
+            k = min(n_execs, max(2, round(sz / (0.5 * fair))))
+            items += [(f"{g}/{k}/{i}", sz / k) for i in range(k)]
+        else:
+            items.append((str(g), sz))
+    loads = [0.0] * n_execs
+    out: list[list[str]] = [[] for _ in range(n_execs)]
+    for tok, sz in sorted(items, key=lambda kv: -kv[1]):
+        e = loads.index(min(loads))
+        out[e].append(tok)
+        loads[e] += sz
+    return out
+
+
+def run_fleet(log_dir: str, gens: str, n_execs: int, cores_per_exec: int,
+              heap: str = "6g") -> dict:
+    """Spawn the fleet, barrier-start the timed runs, aggregate."""
+    workdir = tempfile.mkdtemp(prefix=f"fleet_{n_execs}x{cores_per_exec}_")
+    go_file = os.path.join(workdir, "GO")
+    procs, ready, outs = [], [], []
+    assignment = assign_groups(log_dir, n_execs)
+    for e in range(n_execs):
+        rf = os.path.join(workdir, f"ready_{e}")
+        of = os.path.join(workdir, f"out_{e}.json")
+        ready.append(rf)
+        outs.append(of)
+        env = dict(
+            os.environ,
+            SPARK_DRIVER_MEM=heap,
+            FLEET_GROUPS=",".join(str(g) for g in assignment[e]),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "child",
+                 log_dir, gens, workdir, str(e), str(n_execs),
+                 str(cores_per_exec), rf, go_file, of],
+                env=env,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        )
+    while not all(os.path.exists(r) for r in ready):
+        if any(p.poll() not in (None, 0) for p in procs):
+            raise RuntimeError("fleet executor died during warm-up")
+        time.sleep(0.2)
+    s0 = _steal_s()
+    with open(go_file, "w") as f:
+        f.write("go")
+    for p in procs:
+        p.wait()
+    steal = _steal_s() - s0
+    results = [json.load(open(o)) for o in outs]
+    wall = max(r["wall_s"] for r in results)
+    events = sum(r["events"] for r in results)
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "n_execs": n_execs,
+        "cores_per_exec": cores_per_exec,
+        "events": events,
+        "wall_s": round(wall, 2),
+        "events_per_sec": round(events / wall, 1),
+        "steal_s": round(steal, 1),
+        "per_exec_wall_s": sorted(round(r["wall_s"], 2) for r in results),
+    }
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "child":
+        _child(sys.argv[2:])
+    else:
+        log_dir, gens, n_execs, cores = sys.argv[1:5]
+        print(json.dumps(run_fleet(log_dir, gens, int(n_execs), int(cores))))
