@@ -86,14 +86,13 @@ def _child(argv: list[str]) -> None:
         stats = eng.replay(collect_group_metrics=False)
         return time.time() - t0, stats.rows
 
-    one_replay("warm")  # warm-up: JIT, codegen, page cache
-    with open(ready_file, "w") as f:
-        f.write("ready")
-    while not os.path.exists(go_file):
-        time.sleep(0.05)
-    wall, _rows = one_replay("timed")
-    # count the shard's events exactly once fleet-wide: write ops by the
-    # salt predicate; replicated tombstone ops (4-8) only in residue 0
+    if not os.environ.get("FLEET_SKIP_WARM"):
+        one_replay("warm")  # warm-up: JIT, codegen, page cache
+
+    # count the shard's events exactly once fleet-wide BEFORE the timed
+    # barrier (a count running after an early-finishing executor would
+    # contaminate its siblings' timed walls): write ops by the salt
+    # predicate; replicated tombstone ops (4-8) only in residue 0
     from pyspark.sql import functions as F
 
     log = spark.read.parquet(log_dir)
@@ -107,6 +106,12 @@ def _child(argv: list[str]) -> None:
             (F.col("stream_group") == g) & (writes | tombs_once)
         )
     n_events = log.where(pred).count()
+
+    with open(ready_file, "w") as f:
+        f.write("ready")
+    while not os.path.exists(go_file):
+        time.sleep(0.05)
+    wall, _rows = one_replay("timed")
     with open(out_file, "w") as f:
         json.dump({"exec": exec_idx, "wall_s": wall, "events": n_events,
                    "groups": len(groups) + len(group_salt)}, f)
@@ -166,7 +171,7 @@ def assign_groups(log_dir: str, n_execs: int) -> list[list[str]]:
 
 
 def run_fleet(log_dir: str, gens: str, n_execs: int, cores_per_exec: int,
-              heap: str = "6g") -> dict:
+              heap: str = "12g") -> dict:
     """Spawn the fleet, barrier-start the timed runs, aggregate."""
     workdir = tempfile.mkdtemp(prefix=f"fleet_{n_execs}x{cores_per_exec}_")
     go_file = os.path.join(workdir, "GO")
