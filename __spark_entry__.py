@@ -43,6 +43,15 @@ WINDOW_LO = "2024-01-05 00:00:00"
 WINDOW_HI = "2024-01-20 00:00:00"
 EVENT_TYPES = ["click", "view", "purchase", "signup"]  # 'error' = tombstone
 
+# The driver's oracle gate runs at sf0.01; the golden-VALUES oracles
+# below are computed over the same tables the SQL views read.
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                               "/root/testdata/sf0.01")
+
+# bump when engine semantics change so entry() never reuses a target
+# materialized by an older engine version across rounds
+ENTRY_TARGET_VERSION = "r2"
+
 
 # ---------------------------------------------------------------------------
 # flagship: real CDC replay end-to-end
@@ -56,20 +65,31 @@ def entry(spark: SparkSession) -> DataFrame:
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from scylla_cdc_java_spark import Engine, EngineConfig, GenSpec, generate_to_dir
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
 
-    spec = GenSpec(seed=42, n_events=5000, n_repos=60, paths_per_repo=12,
-                   n_generations=2, streams_per_generation=8,
-                   gen_span_ms=60_000)
+    spec = _entry_spec()
     base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
     info = generate_to_dir(spec, base)
     eng = Engine(
         spark, info["log_dir"], info["generations_path"],
-        os.path.join(base, f"target_{spec.cache_key()}"),
+        os.path.join(
+            base, f"target_{spec.cache_key()}_{ENTRY_TARGET_VERSION}"
+        ),
         cfg=EngineConfig(window_length_limit_ms=60_000),
     )
     eng.replay()
     return eng.sink.read().orderBy("repo", "path")
+
+
+def _entry_spec():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scylla_cdc_java_spark import GenSpec
+
+    return GenSpec(seed=42, n_events=5000, n_repos=60, paths_per_repo=12,
+                   n_generations=2, streams_per_generation=8,
+                   gen_span_ms=60_000)
 
 
 # ---------------------------------------------------------------------------
@@ -298,7 +318,7 @@ def q_dedup_verify_jaccard(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(docs, bands=16).select("id_a", "id_b")
-    return ngram_jaccard_pairs(docs, cand)
+    return ngram_jaccard_pairs(docs, cand).select("id_a", "id_b", "jaccard")
 
 
 def q_simhash(spark, sf_dir):
@@ -376,10 +396,30 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_cdc_replay(spark, sf_dir):
-    """The engine itself as a query: replay a deterministic world and
-    return the final state (rows-only check; full golden checks live in
-    tests/ against the Python oracle)."""
-    return entry(spark)
+    """The engine itself as a query: replay a deterministic world
+    through the full engine and return a canonical digest of the final
+    table — (row count, sha256 over the sorted state lines). The oracle
+    side replays the SAME event log through the pure-Python row-at-a-
+    time reference implementation (scylla_cdc_java_spark.oracle) and
+    inlines ITS digest, so the whole distributed pipeline (windowed
+    scans -> LWW fold -> tombstones -> merge sink) is checked against an
+    independent interpreter of the reference semantics."""
+    from scylla_cdc_java_spark.datapipe.golden import FIELD_SEP, NULL_SENTINEL
+
+    df = entry(spark)
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.col("repo"),
+        F.col("path"),
+        *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
+          for c in ("commit", "lang", "content")],
+    )
+    return df.select(line.alias("_l")).agg(
+        F.count("*").alias("n_rows"),
+        F.sha2(
+            F.concat_ws("\n", F.array_sort(F.collect_list("_l"))), 256
+        ).alias("state_sha"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -413,13 +453,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# ---------------------------------------------------------------------------
+# golden-VALUES oracles: for operators whose hashing internals are not
+# ANSI-SQL-expressible, the oracle is an independent pure-Python
+# single-machine reimplementation (datapipe/golden.py) whose result is
+# inlined as SQL literals — the driver's DuckDB check then verifies the
+# DISTRIBUTED plumbing (bucket joins, explodes, skew guards, window
+# ranks, the whole CDC replay pipeline) against a readable loop.
+# ---------------------------------------------------------------------------
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)  # round-trips to the exact same double
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _values_sql(rows, cols, types) -> str:
+    if not rows:
+        sel = ", ".join(
+            f"cast(NULL as {t}) as {c}" for c, t in zip(cols, types)
+        )
+        return f"select {sel} where false"
+    body = ",\n".join(
+        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
+    )
+    casts = ", ".join(f"cast({c} as {t}) as {c}" for c, t in zip(cols, types))
+    return (
+        f"select {casts} from (values\n{body}\n) as t({', '.join(cols)})"
+    )
+
+
+_GOLDEN_CACHE: dict | None = None
+
+
+def _golden_oracles() -> dict[str, str]:
+    """Computed once per process; independent of any SparkSession."""
+    global _GOLDEN_CACHE
+    if _GOLDEN_CACHE is not None:
+        return _GOLDEN_CACHE
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        from scylla_cdc_java_spark.datapipe import golden as G
+
+        sf = ORACLE_SF_DIR
+        out: dict[str, str] = {}
+        mh = G.golden_minhash_lsh(sf)  # bands=16 etc. match q_minhash_lsh
+        out["minhash_lsh"] = _values_sql(
+            mh, ["id_a", "id_b", "n_shared_bands"],
+            ["bigint", "bigint", "bigint"],
+        )
+        out["dedup_verify_jaccard"] = _values_sql(
+            G.golden_jaccard(sf, [(a, b) for a, b, _ in mh]),
+            ["id_a", "id_b", "jaccard"], ["bigint", "bigint", "double"],
+        )
+        out["simhash"] = _values_sql(
+            G.golden_simhash(sf), ["doc_id", "simhash", "bucket"],
+            ["bigint", "bigint", "bigint"],
+        )
+        out["multimodal_frames"] = _values_sql(
+            G.golden_frames(sf), ["doc_id", "n_sampled", "n_frames"],
+            ["bigint", "bigint", "int"],
+        )
+        out["ann_lsh"] = _values_sql(
+            G.golden_ann_lsh(sf),
+            ["query_id", "neighbor_id", "rank", "cosine"],
+            ["bigint", "bigint", "int", "double"],
+        )
+        out["ann_ivf"] = _values_sql(
+            G.golden_ann_ivf(sf),
+            ["query_id", "neighbor_id", "rank", "cosine"],
+            ["bigint", "bigint", "int", "double"],
+        )
+        out["embedding_neardup_lsh"] = _values_sql(
+            G.golden_neardup_lsh(sf, threshold=0.35, n_planes=4),
+            ["id_a", "id_b", "cosine"], ["bigint", "bigint", "double"],
+        )
+        n, sha = G.golden_cdc_digest(_entry_spec())
+        out["cdc_replay"] = (
+            f"select cast({n} as bigint) as n_rows, '{sha}' as state_sha"
+        )
+        _GOLDEN_CACHE = out
+    except Exception:
+        # a failed golden must degrade to rows-only, never crash the gate
+        _GOLDEN_CACHE = {}
+    return _GOLDEN_CACHE
+
+
+_FP_WINDOW = 8
+
+FINGERPRINTS_SQL = f"""
+    with toks as (
+      select doc_id, regexp_split_to_array(trim(text), '\\s+') as tk
+      from documents where length(trim(text)) > 0
+    ), wh as (
+      select doc_id,
+        [md5(array_to_string(tk[i:i+{_FP_WINDOW - 1}], ' '))
+         for i in range(1, greatest(len(tk) - {_FP_WINDOW - 1}, 1) + 1)] as w
+      from toks
+    ), blocks as (
+      select doc_id,
+        list_distinct(
+          [list_min(w[b*{_FP_WINDOW}+1:(b+1)*{_FP_WINDOW}])
+           for b in range(0, cast(ceil(len(w)/{_FP_WINDOW}.0) as int))]
+        ) as fps
+      from wh
+    )
+    select doc_id, unnest(fps) as fingerprint from blocks
+    order by doc_id, fingerprint
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     et_cols = ", ".join(
         f"round(arg_max(value, ts) "
         f"filter (where event_type = '{t}'), 2) as last_{t}_value"
         for t in EVENT_TYPES
     )
-    return {
+    base = {
         "lww_last_writer": """
             select user_id,
                    arg_max(event_type, ts) as last_event_type,
@@ -576,4 +734,7 @@ def oracle_sql() -> dict[str, str]:
                 ) as rank from scored
             ) where rank <= 5
         """,
+        "fingerprints": FINGERPRINTS_SQL,
     }
+    base.update(_golden_oracles())
+    return base

@@ -144,12 +144,12 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text",
             out[i] = np.int64(sig.astype(np.int64))
         return pd.Series(out)
 
+    # compute the UDF once; derive the bucket from the column (Catalyst
+    # does not dedupe repeated Python UDF calls)
     return docs.select(
-        id_col,
-        _simhash(F.col(text_col)).alias("simhash"),
-        F.shiftrightunsigned(_simhash(F.col(text_col)), 64 - prefix_bits).alias(
-            "bucket"
-        ),
+        id_col, _simhash(F.col(text_col)).alias("simhash")
+    ).withColumn(
+        "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
     )
 
 

@@ -1,0 +1,322 @@
+"""Pure-Python golden oracles for the non-SQL-expressible datapipe
+operators (MinHash-LSH, SimHash, LSH/IVF ANN, frame sampling) and for
+the CDC replay digest.
+
+These are INDEPENDENT single-machine reimplementations — straight
+row-at-a-time Python over pyarrow-read parquet, no Spark — of the same
+published algorithms the distributed operators implement. The driver's
+DuckDB oracle gate compares each Spark query against literal VALUES
+produced here, so what is being verified is the distributed plumbing
+(explodes, bucket joins, skew guards, window ranks, dedup) against a
+loop you can read in one screen.
+
+Exactness notes:
+- All floating-point reranks replicate the JVM expressions' SEQUENTIAL
+  left-to-right f64 folds (``F.aggregate`` over ``zip_with``), so
+  cosines match the Spark output bit-for-bit.
+- Hash-parameter generation (hyperplanes, minhash permutations, IVF
+  centroid training) is shared driver-side *setup*, not the operator
+  under test; goldens call the same seeded constructors.
+- MinHash banding equivalence: Spark buckets by xxhash64 of the band
+  slice, the golden groups by the slice TUPLE — identical up to hash
+  collisions (negligible at contract scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import zlib
+
+import numpy as np
+import pyarrow.parquet as pq
+
+MERSENNE = (1 << 61) - 1
+M64 = (1 << 64) - 1
+
+
+# ---------------------------------------------------------------------------
+# parquet readers
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str) -> list[tuple[int, str]]:
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def _vecs(sf_dir: str) -> list[tuple[int, list[float]]]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    # f32 -> f64 widening is exact; the Spark queries cast the same way
+    return [
+        (i, [float(x) for x in v])
+        for i, v in zip(t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist())
+    ]
+
+
+# ---------------------------------------------------------------------------
+# sequential f64 arithmetic (replicates F.aggregate/zip_with fold order)
+# ---------------------------------------------------------------------------
+
+def _sdot(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _snorm(a) -> float:
+    s = 0.0
+    for x in a:
+        s += x * x
+    return math.sqrt(s)
+
+
+def _cosine(a, b) -> float:
+    return _sdot(a, b) / (_snorm(a) * _snorm(b))
+
+
+# ---------------------------------------------------------------------------
+# text hashing primitives (mirror dedup.py's published recipes)
+# ---------------------------------------------------------------------------
+
+def _shingles(text: str, k: int) -> list[int]:
+    toks = (text or "").split()
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks))
+    return sorted(
+        {zlib.crc32(" ".join(toks[i:i + k]).encode())
+         for i in range(max(1, len(toks) - k + 1))}
+    )
+
+
+def golden_minhash_lsh(sf_dir: str, num_hashes: int = 64, bands: int = 16,
+                       shingle_k: int = 3, seed: int = 42,
+                       max_bucket: int = 64) -> list[tuple[int, int, int]]:
+    """(id_a, id_b, n_shared_bands) candidate pairs."""
+    rng = np.random.default_rng(seed)
+    a = [int(x) for x in rng.integers(1, MERSENNE, size=num_hashes,
+                                      dtype=np.uint64)]
+    b = [int(x) for x in rng.integers(0, MERSENNE, size=num_hashes,
+                                      dtype=np.uint64)]
+    rows_per_band = num_hashes // bands
+
+    sigs: dict[int, list[int]] = {}
+    for did, text in _docs(sf_dir):
+        sh = _shingles(text, shingle_k)
+        sigs[did] = [
+            min(((ai * s + bi) & M64) % MERSENNE for s in sh)
+            for ai, bi in zip(a, b)
+        ]
+
+    shared: dict[tuple[int, int], int] = {}
+    for band in range(bands):
+        buckets: dict[tuple, list[int]] = {}
+        for did, sig in sigs.items():
+            key = tuple(sig[band * rows_per_band:(band + 1) * rows_per_band])
+            buckets.setdefault(key, []).append(did)
+        for ids in buckets.values():
+            if len(ids) > max_bucket:  # skew guard (degenerate bucket)
+                continue
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    shared[(ids[i], ids[j])] = shared.get((ids[i], ids[j]), 0) + 1
+    return sorted((ia, ib, n) for (ia, ib), n in shared.items())
+
+
+def golden_jaccard(sf_dir: str, pairs: list[tuple[int, int]],
+                   shingle_k: int = 3) -> list[tuple[int, int, float]]:
+    texts = dict(_docs(sf_dir))
+    out = []
+    for ia, ib in pairs:
+        sa = set(_shingles(texts[ia], shingle_k))
+        sb = set(_shingles(texts[ib], shingle_k))
+        u = len(sa | sb)
+        out.append((ia, ib, (len(sa & sb) / u) if u else 0.0))
+    return sorted(out)
+
+
+def golden_simhash(sf_dir: str, prefix_bits: int = 16
+                   ) -> list[tuple[int, int, int]]:
+    """(doc_id, simhash int64, bucket)."""
+    gold = 0x9E3779B97F4A7C15
+    out = []
+    for did, text in _docs(sf_dir):
+        toks = (text or "").split()
+        if not toks:
+            out.append((did, 0, 0))
+            continue
+        hs = [(zlib.crc32(w.encode()) * gold) & M64 for w in toks]
+        sig = 0
+        for bit in range(64):
+            score = sum(1 if (h >> bit) & 1 else -1 for h in hs)
+            if score > 0:
+                sig |= 1 << bit
+        signed = sig - (1 << 64) if sig >= (1 << 63) else sig
+        out.append((did, signed, sig >> (64 - prefix_bits)))
+    return sorted(out)
+
+
+def golden_frames(sf_dir: str, every_n: int = 8
+                  ) -> list[tuple[int, int, int]]:
+    """(doc_id, n_sampled, n_frames) per asset — the multimodal stub's
+    deterministic crc-derived frame counts."""
+    out = []
+    for did, text in _docs(sf_dir):
+        crc = zlib.crc32((text or "").encode("utf-8"))
+        total = 1 + crc % 24
+        picked = list(range(0, total, every_n)) or [0]
+        out.append((did, len(picked), total))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# embedding goldens
+# ---------------------------------------------------------------------------
+
+def _golden_planes(dim: int, n_planes: int, seed: int):
+    from .similarity import _planes  # shared seeded parameter constructor
+
+    return _planes(dim, n_planes, seed)
+
+
+def _bucket(vec, planes) -> int:
+    b = 0
+    for p in range(planes.shape[0]):
+        if _sdot(vec, [float(x) for x in planes[p]]) > 0:
+            b += 1 << p
+    return b
+
+
+def _topk(scored: dict[int, list[tuple[int, float]]], k: int):
+    """scored: query_id -> [(neighbor_id, cosine)]; returns ranked rows
+    (query_id, neighbor_id, rank, cosine) under (cosine desc, id asc)."""
+    rows = []
+    for qid in sorted(scored):
+        ranked = sorted(scored[qid], key=lambda nc: (-nc[1], nc[0]))[:k]
+        for r, (nid, cos) in enumerate(ranked, start=1):
+            rows.append((qid, nid, r, cos))
+    return rows
+
+
+def golden_ann_lsh(sf_dir: str, k: int = 5, n_planes: int = 4,
+                   n_tables: int = 12, seed: int = 7,
+                   n_queries: int = 10) -> list[tuple[int, int, int, float]]:
+    vecs = _vecs(sf_dir)
+    dim = len(vecs[0][1])
+    queries = [(i, v) for i, v in vecs if i < n_queries]
+    cand: dict[int, set[int]] = {qid: set() for qid, _ in queries}
+    for t in range(n_tables):
+        planes = _golden_planes(dim, n_planes, seed + t)
+        cb: dict[int, list[int]] = {}
+        for vid, v in vecs:
+            cb.setdefault(_bucket(v, planes), []).append(vid)
+        for qid, qv in queries:
+            for nid in cb.get(_bucket(qv, planes), []):
+                if nid != qid:
+                    cand[qid].add(nid)
+    by_id = dict(vecs)
+    scored = {
+        qid: [(nid, _cosine(by_id[qid], by_id[nid])) for nid in sorted(nids)]
+        for qid, nids in cand.items()
+    }
+    return _topk(scored, k)
+
+
+def golden_neardup_lsh(sf_dir: str, threshold: float = 0.95,
+                       n_planes: int = 6, n_tables: int = 8,
+                       seed: int = 11) -> list[tuple[int, int, float]]:
+    vecs = _vecs(sf_dir)
+    dim = len(vecs[0][1])
+    pairs: set[tuple[int, int]] = set()
+    for t in range(n_tables):
+        planes = _golden_planes(dim, n_planes, seed + t)
+        buckets: dict[int, list[int]] = {}
+        for vid, v in vecs:
+            buckets.setdefault(_bucket(v, planes), []).append(vid)
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+    by_id = dict(vecs)
+    out = []
+    for ia, ib in sorted(pairs):
+        cos = _cosine(by_id[ia], by_id[ib])
+        if cos >= threshold:
+            out.append((ia, ib, cos))
+    return out
+
+
+def golden_ann_ivf(sf_dir: str, k: int = 5, n_lists: int = 16,
+                   nprobe: int = 4, sample_size: int = 4096, seed: int = 13,
+                   n_queries: int = 10) -> list[tuple[int, int, int, float]]:
+    from .similarity import _kmeans_centroids  # shared quantizer trainer
+
+    vecs = _vecs(sf_dir)
+    # md5-ordered deterministic sample — same rule as train_ivf_centroids
+    order = sorted(vecs, key=lambda iv: (
+        hashlib.md5(str(iv[0]).encode()).hexdigest(), iv[0]))
+    sample = np.stack([np.asarray(v, dtype=np.float64)
+                       for _, v in order[:sample_size]])
+    cent = _kmeans_centroids(sample, n_lists, seed)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cn_lists = [[float(x) for x in row] for row in cn]
+
+    def dots(v):
+        return [_sdot(v, c) for c in cn_lists]
+
+    assign: dict[int, int] = {}
+    for vid, v in vecs:
+        d = dots(v)
+        assign[vid] = d.index(max(d))  # first max, like array_position
+
+    queries = [(i, v) for i, v in vecs if i < n_queries]
+    by_id = dict(vecs)
+    scored: dict[int, list[tuple[int, float]]] = {}
+    for qid, qv in queries:
+        d = dots(qv)
+        probe = [i for _, i in
+                 sorted(((-dv, i) for i, dv in enumerate(d)))[:nprobe]]
+        nids = [vid for vid, lst in assign.items()
+                if lst in probe and vid != qid]
+        scored[qid] = [(nid, _cosine(qv, by_id[nid])) for nid in sorted(nids)]
+    return _topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# CDC replay digest (the flagship's oracle — scylla_cdc_java_spark.oracle
+# is the independent row-at-a-time implementation of the reference
+# semantics; this just canonicalizes its final state)
+# ---------------------------------------------------------------------------
+
+NULL_SENTINEL = "\x02"
+FIELD_SEP = "\x01"
+
+
+def state_lines(rows: list[dict], value_cols=("commit", "lang", "content")
+                ) -> list[str]:
+    return sorted(
+        FIELD_SEP.join(
+            [r["repo"], r["path"]]
+            + [r[c] if r[c] is not None else NULL_SENTINEL for c in value_cols]
+        )
+        for r in rows
+    )
+
+
+def golden_cdc_digest(spec) -> tuple[int, str]:
+    """Replay `spec`'s world through the pure-Python oracle and return
+    (n_rows, sha256 of the sorted canonical state lines)."""
+    from ..generator import generate_world
+    from ..oracle import final_state, replay
+
+    world = generate_world(spec)
+    rows = final_state(replay(world["events"]))
+    lines = state_lines(rows)
+    sha = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return len(rows), sha

@@ -79,7 +79,7 @@ RESIZE_SCHEMA = (
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, n_frames int"
 
 FEATURE_DIM = 16
-FEATURES_SCHEMA = f"doc_id long, features array<float>"
+FEATURES_SCHEMA = "doc_id long, features array<float>"
 
 
 def resize_stub(assets: DataFrame, target_w: int = 224, target_h: int = 224,
@@ -152,7 +152,9 @@ def feature_extract_stub(assets: DataFrame, id_col: str = "doc_id") -> DataFrame
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 hist = np.bincount(arr >> 4, minlength=FEATURE_DIM)[:FEATURE_DIM]
                 tot = max(hist.sum(), 1)
-                feats.append((hist / tot).astype(np.float32))
+                vec = (hist / tot).astype(np.float32)
+                assert len(vec) == FEATURE_DIM  # schema promises array of this dim
+                feats.append(vec)
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].values,
                 "features": feats,

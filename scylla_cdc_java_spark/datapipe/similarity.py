@@ -4,18 +4,23 @@
   computed JVM-side with ``F.zip_with`` + ``F.aggregate`` (no Python at
   all); queries are broadcast so the scan of the corpus side stays
   shuffle-free; top-k via a window over the (small) query dimension.
-- ``cosine_topk_lsh``: the scale path — random-hyperplane LSH buckets
-  (one Arrow pass to sign-hash each vector against R seeded
-  hyperplanes), equi-join query buckets to corpus buckets, exact rerank
-  inside buckets only. At 10^9 vectors the bucket join replaces the
+- ``cosine_topk_lsh``: the scale path — random-hyperplane LSH buckets.
+  The seeded plane matrix is embedded as LITERAL arrays, so the bucket
+  of every vector is a pure JVM expression (sign of sequential-fold dot
+  products): one corpus scan computes ALL tables' buckets, explodes to
+  (table, bucket) and equi-joins query buckets — no Python UDF, no
+  per-table rescans. At 10^9 vectors the bucket join replaces the
   O(Q*N) cross product with O(Q*N/2^R)-ish work; recall is tunable via
-  multiple tables (``n_tables``).
+  ``n_tables``. Deterministic given the seed (and reproducible outside
+  Spark: all arithmetic is sequential IEEE-754 f64 — see
+  datapipe/golden.py).
 - ``cosine_topk_ivf``: the other scale path — IVF coarse quantizer:
-  k-means centroids trained on a driver-side sample (standard practice;
-  the sample is tiny relative to the corpus), broadcast; every corpus
-  vector is assigned to its nearest centroid in one Arrow pass
-  (partition-prunable list assignment), queries probe the ``nprobe``
-  nearest lists and rerank exactly inside them.
+  k-means centroids trained on a deterministic md5-ordered driver-side
+  sample (standard practice; the sample is tiny relative to the
+  corpus), embedded as literals; every corpus vector is assigned to its
+  max-dot centroid by a JVM expression (partition-prunable list
+  assignment), queries probe the ``nprobe`` best lists and rerank
+  exactly inside them.
 - ``embedding_neardup_*``: near-duplicate detection by embedding cosine
   >= threshold — bruteforce (oracle-checkable) and LSH-blocked (scale).
 """
@@ -23,10 +28,8 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -40,6 +43,36 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Seeded random hyperplanes, shape (n_planes, dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes)).T.copy()
+
+
+def _vec_literal(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """LSH bucket id = Σ_p (v · plane_p > 0) << p — all JVM, sequential
+    f64 folds (bit-reproducible outside Spark)."""
+    b = F.lit(0).cast("long")
+    for p in range(planes.shape[0]):
+        d = _dot(vec_col, _vec_literal(planes[p]))
+        b = b + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return b
+
+
+def _all_buckets_expr(vec_col, dim: int, n_planes: int, n_tables: int,
+                      seed: int):
+    """Array of all n_tables bucket ids — ONE corpus pass for every
+    hash table."""
+    return F.array(
+        *[_bucket_expr(vec_col, _planes(dim, n_planes, seed + t))
+          for t in range(n_tables)]
     )
 
 
@@ -109,24 +142,27 @@ def embedding_neardup_lsh(embeddings: DataFrame, threshold: float = 0.95,
                           seed: int = 11) -> DataFrame:
     """Scale path: block by random-hyperplane LSH signature (vectors at
     cosine >= threshold collide with high probability across n_tables
-    tables), self-join only within buckets, exact-cosine verify. The
-    self-join is on the bucket key so Spark shuffles each table once by
-    bucket — no cross product. Output schema matches the brute-force
-    variant; recall < 1 is the documented LSH trade-off."""
+    tables), self-join only within (table, bucket), exact-cosine verify.
+    ONE pass computes every table's bucket; the self-join shuffles once
+    on the (table, bucket) key — no cross product, no Python. Output
+    schema matches the brute-force variant; recall < 1 is the
+    documented LSH trade-off."""
     dim = len(embeddings.select(vec_col).first()[0])
-    ids = embeddings.select(F.col(id_col).alias("_id"),
-                            F.col(vec_col).alias("_v"))
-    cand = None
-    for t in range(n_tables):
-        bu = _hyperplane_bucket_udf(dim, n_planes, seed + t)
-        bk = ids.withColumn("_b", bu(F.col("_v")))
-        left = bk.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-                         "_b")
-        right = bk.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-                          "_b")
-        pairs = left.join(right, "_b").where(F.col("id_a") < F.col("id_b")).drop("_b")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    bk = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.posexplode(
+            _all_buckets_expr(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("_t", "_b"),
+    )
+    left = bk.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                     "_t", "_b")
+    right = bk.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                      "_t", "_b")
+    cand = (
+        left.join(right, ["_t", "_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
         cand.select(
             "id_a", "id_b",
@@ -158,44 +194,77 @@ def _kmeans_centroids(sample: np.ndarray, n_lists: int, seed: int,
     return cent
 
 
+def train_ivf_centroids(embeddings: DataFrame, n_lists: int,
+                        sample_size: int, seed: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Quantizer training sample: md5-ordered prefix — a deterministic,
+    insertion-order-free pseudo-random sample (a bare .limit() over the
+    raw scan takes the first partitions and biases the centroids on
+    ordered corpora; .sample() is seed-stable only per partitioning).
+    Returns row-normalized centroids (n_lists, dim)."""
+    rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_ivf_centroids: embeddings DataFrame is "
+                         "empty — cannot train the IVF quantizer")
+    sample = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cent = _kmeans_centroids(sample, n_lists, seed)
+    return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+
+def _centroid_dots_expr(vec_col, cn: np.ndarray):
+    return F.array(*[_dot(vec_col, _vec_literal(cn[j])) for j in range(len(cn))])
+
+
 def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", n_lists: int = 16,
                     nprobe: int = 4, sample_size: int = 4096,
                     seed: int = 13) -> DataFrame:
-    """IVF ANN: assign corpus vectors to their nearest of ``n_lists``
-    k-means centroids (one Arrow pass, centroids broadcast in the UDF
-    closure); each query probes its ``nprobe`` nearest lists; exact
-    cosine rerank inside the probed lists only. At 10^10 vectors the
-    list id becomes the table's partition column, so a probe prunes
-    (n_lists - nprobe)/n_lists of the corpus scan."""
-    sample = np.stack(
-        [np.asarray(r[0], dtype=np.float64)
-         for r in embeddings.select(vec_col).limit(sample_size).collect()]
+    """IVF ANN: assign corpus vectors to their max-dot centroid (JVM
+    expression over literal normalized centroids — dot ordering equals
+    cosine ordering, so no per-vector normalization is needed); each
+    query probes its ``nprobe`` best lists; exact cosine rerank inside
+    the probed lists only. At 10^10 vectors the list id becomes the
+    table's partition column, so a probe prunes (n_lists - nprobe)/
+    n_lists of the corpus scan."""
+    cn = train_ivf_centroids(embeddings, n_lists, sample_size, seed,
+                             id_col, vec_col)
+
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+        .withColumn("_dots", _centroid_dots_expr(F.col("_cv"), cn))
+        .withColumn(
+            "_list",
+            (F.array_position(F.col("_dots"), F.array_max(F.col("_dots"))) - 1)
+            .cast("int"),
+        )
+        .drop("_dots")
     )
-    cent = _kmeans_centroids(sample, n_lists, seed)
-    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
-    @pandas_udf("int")
-    def _assign(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series((m @ cn.T).argmax(1).astype(np.int32))
-
-    @pandas_udf("array<int>")
-    def _probe(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(m @ cn.T), axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
-
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        _assign(F.col(vec_col)).alias("_list"),
+    # probe order: dot desc, tie by list index asc
+    zipped = F.arrays_zip(
+        F.col("_dots").alias("d"),
+        F.sequence(F.lit(0), F.lit(n_lists - 1)).alias("i"),
     )
-    q = queries.select(
-        qid_col, F.col(vec_col).alias("_qv"),
-        F.explode(_probe(F.col(vec_col))).alias("_list"),
+    ordered = F.array_sort(
+        zipped,
+        lambda a, b: F.when(a["d"] > b["d"], F.lit(-1))
+        .when(a["d"] < b["d"], F.lit(1))
+        .otherwise((a["i"] - b["i"]).cast("int")),
+    )
+    probe = F.transform(F.slice(ordered, 1, nprobe), lambda s: s["i"].cast("int"))
+    q = (
+        queries.select(qid_col, F.col(vec_col).alias("_qv"))
+        .withColumn("_dots", _centroid_dots_expr(F.col("_qv"), cn))
+        .select(qid_col, "_qv", F.explode(probe).alias("_list"))
     )
     cand = F.broadcast(q).join(corpus, "_list").where(
         F.col(qid_col) != F.col("neighbor_id")
@@ -216,39 +285,30 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _hyperplane_bucket_udf(dim: int, n_planes: int, seed: int):
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
-
-    @pandas_udf("long")
-    def _bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = (m @ planes) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(n_planes, dtype=np.int64))
-        return pd.Series(signs @ weights)
-
-    return _bucket
-
-
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", n_planes: int = 4,
                     n_tables: int = 12, seed: int = 7) -> DataFrame:
-    """Bucketed ANN: candidates = vectors sharing any LSH bucket with the
-    query across n_tables hash tables; exact cosine rerank inside."""
+    """Bucketed ANN: candidates = vectors sharing any (table, bucket)
+    with the query; exact cosine rerank inside. One corpus pass computes
+    all tables' buckets (posexplode), one equi-join on (table, bucket)."""
     dim = len(embeddings.select(vec_col).first()[0])
-    cand = None
-    for t in range(n_tables):
-        bu = _hyperplane_bucket_udf(dim, n_planes, seed + t)
-        qb = queries.select(qid_col, F.col(vec_col).alias("_qv"),
-                            bu(F.col(vec_col)).alias("_b"))
-        cb = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                               F.col(vec_col).alias("_cv"),
-                               bu(F.col(vec_col)).alias("_b"))
-        pairs = F.broadcast(qb).join(cb, "_b").drop("_b")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates([qid_col, "neighbor_id"]).where(
-        F.col(qid_col) != F.col("neighbor_id")
+    qb = queries.select(
+        qid_col, F.col(vec_col).alias("_qv"),
+        F.posexplode(
+            _all_buckets_expr(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("_t", "_b"),
+    )
+    cb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.posexplode(
+            _all_buckets_expr(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("_t", "_b"),
+    )
+    cand = (
+        F.broadcast(qb).join(cb, ["_t", "_b"]).drop("_t", "_b")
+        .dropDuplicates([qid_col, "neighbor_id"])
+        .where(F.col(qid_col) != F.col("neighbor_id"))
     )
     scored = cand.select(
         qid_col,

@@ -1,17 +1,11 @@
 """Text analysis operators: language ID, quality scoring, token
-counting, document fingerprinting. Quality/token/lang paths are pure
-JVM expressions (whole-stage codegen); fingerprinting is an Arrow pass.
+counting, document fingerprinting. All four are pure JVM expressions
+(whole-stage codegen) — no Python on any path.
 """
 
 from __future__ import annotations
 
-import zlib
-
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
 
 # tiny stopword marker sets per language (heuristic n-gram language ID)
 LANG_MARKERS = {
@@ -84,32 +78,35 @@ def lang_id_heuristic(docs: DataFrame, text_col: str = "text",
 
 def doc_fingerprints(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", window: int = 8) -> DataFrame:
-    """Winnowing-style fingerprints: rolling crc32 over token windows,
-    keep the min hash per window position block — a compact, shift-
-    tolerant document signature (Arrow-batched numpy)."""
+    """Winnowing-style fingerprints, entirely JVM-side (no Python UDF):
+    md5 over each ``window``-token shingle, then keep the minimum hash
+    per non-overlapping block of ``window`` positions — a compact,
+    shift-tolerant document signature. Documents shorter than one
+    window fingerprint their whole (whitespace-normalized) body; empty
+    documents yield no rows.
 
-    @pandas_udf("array<long>")
-    def _fp(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").split()
-            if len(toks) < window:
-                out.append(
-                    [np.int64(zlib.crc32(" ".join(toks).encode()))] if toks else []
-                )
-                continue
-            hs = np.fromiter(
-                (
-                    zlib.crc32(" ".join(toks[i : i + window]).encode())
-                    for i in range(len(toks) - window + 1)
-                ),
-                dtype=np.int64,
-            )
-            # winnow: min per non-overlapping block of `window` positions
-            nblocks = int(np.ceil(len(hs) / window))
-            pads = nblocks * window - len(hs)
-            padded = np.pad(hs, (0, pads), constant_values=np.iinfo(np.int64).max)
-            out.append(np.unique(padded.reshape(nblocks, window).min(axis=1)).tolist())
-        return pd.Series(out)
-
-    return docs.select(id_col, _fp(F.col(text_col)).alias("fingerprints"))
+    Returns EXPLODED rows ``(doc_id, fingerprint string)`` — one row per
+    distinct kept hash — so the result is a flat relation (joinable,
+    SQL-oracle-checkable; an array column would also break value-level
+    comparison downstream)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # window-shingle hashes; for n < window the single position 1 covers
+    # the whole document (slice clamps at the array end)
+    wh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+    )
+    nblocks = F.ceil(F.size(wh) / F.lit(float(window))).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblocks - F.lit(1)),
+        lambda b: F.array_min(F.slice(wh, b * window + 1, window)),
+    )
+    return (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            id_col,
+            F.explode(F.array_distinct(blocks)).alias("fingerprint"),
+        )
+        .orderBy(id_col, "fingerprint")
+    )

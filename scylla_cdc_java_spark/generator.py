@@ -76,10 +76,35 @@ class GenSpec:
     content_min: int = 64
     content_max: int = 512
     time_bucket_ms: int = 600_000  # 10-minute physical partitions
+    # ---- fields added after /v2; default values leave cache keys (and
+    # the generated world) bit-identical to /v2 ----
+    ttl_fraction: float = 0.05  # fraction of writes carrying a cdc$ttl
 
     def cache_key(self) -> str:
-        # /v2: index-stable stream grouping changed the physical layout
-        return hashlib.sha256((repr(self) + "/v2").encode()).hexdigest()[:16]
+        # /v2: index-stable stream grouping changed the physical layout.
+        # The key is built from the ORIGINAL /v2 field list so worlds
+        # cached before new spec fields existed stay valid; any
+        # non-default new field extends the key.
+        core = ", ".join(f"{f}={getattr(self, f)!r}" for f in _V2_FIELDS)
+        s = f"GenSpec({core})/v2"
+        extras = [
+            (f, getattr(self, f))
+            for f in type(self).__dataclass_fields__
+            if f not in _V2_FIELDS
+            and getattr(self, f) != type(self).__dataclass_fields__[f].default
+        ]
+        if extras:
+            s += "/x" + repr(sorted(extras))
+        return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+_V2_FIELDS = (
+    "seed", "n_events", "n_repos", "n_orgs", "paths_per_repo",
+    "n_generations", "streams_per_generation", "gen0_start_ms",
+    "gen_span_ms", "zipf_a", "p_update", "p_insert", "p_row_delete",
+    "p_partition_delete", "p_range_delete", "dup_fraction", "content_min",
+    "content_max", "time_bucket_ms",
+)
 
 
 def _token_pool(rng: np.random.Generator, n: int = 4096, width: int = 8) -> np.ndarray:
@@ -192,8 +217,11 @@ def generate_world(spec: GenSpec) -> dict:
     del_commit = rng.random(n) < 0.02
     del_lang = rng.random(n) < 0.02
     del_content = rng.random(n) < 0.01
-    # TTL passthrough on a few writes
-    ttl = np.where(rng.random(n) < 0.05, rng.integers(60, 86_400, size=n), -1)
+    # TTL on a fraction of writes (reference binds/unsets TTL per
+    # statement, replicator Main.java:131-138)
+    ttl = np.where(
+        rng.random(n) < spec.ttl_fraction, rng.integers(60, 86_400, size=n), -1
+    )
 
     rows: dict[str, list] = {k: [] for k in (
         "stream_id", "ms", "seq", "op", "ttl", "batch_seq", "repo", "path",

@@ -114,9 +114,21 @@ COL_MARKER_TS = "_ts_marker"  # row marker from INSERT (op 2) / POSTIMAGE (9)
 COL_TOMB_TS = "_ts_tomb"  # max covering tombstone (row/partition/range)
 COL_LIVE = "_live"  # precomputed row-visibility flag
 
+# Per-cell TTL carried with the winning write (the reference binds/unsets
+# TTL on every statement, replicator Main.java:131-138; Scylla expires the
+# cell at write-time + TTL). The sink stores the winning write's TTL next
+# to its timestamp; expiry is applied at READ time (`read(as_of_ms=...)`)
+# — the lake-storage equivalent of Scylla's compaction-time expiry.
+TTL_PREFIX = "_ttl_"
+COL_MARKER_TTL = "_ttl_marker"  # TTL bound with the winning INSERT marker
+
 
 def ts_col(value_col: str) -> str:
     return TS_PREFIX + value_col
+
+
+def ttl_col(value_col: str) -> str:
+    return TTL_PREFIX + value_col
 
 
 def deleted_col(value_col: str) -> str:
@@ -174,8 +186,11 @@ def target_physical_schema(table: TableConfig = DEFAULT_TABLE) -> T.StructType:
         fields.append(T.StructField(c, T.StringType(), True))
     for c in table.value_columns:
         fields.append(T.StructField(ts_col(c), T.LongType(), True))
+    for c in table.value_columns:
+        fields.append(T.StructField(ttl_col(c), T.LongType(), True))
     fields += [
         T.StructField(COL_MARKER_TS, T.LongType(), True),
+        T.StructField(COL_MARKER_TTL, T.LongType(), True),
         T.StructField(COL_TOMB_TS, T.LongType(), True),
         T.StructField(COL_LIVE, T.BooleanType(), False),
     ]

@@ -34,7 +34,9 @@ from ..model import (
     COL_STREAM_ID,
     COL_TIME,
     COL_TS,
+    COL_TTL,
     COL_MARKER_TS,
+    COL_MARKER_TTL,
     DELETED_PREFIX,
     OP_PARTITION_DELETE,
     OP_POSTIMAGE,
@@ -91,7 +93,17 @@ def _cell_aggs(table: TableConfig, value_cols: list[str]) -> list[Column]:
         payload = F.when(F.coalesce(F.col(dc), F.lit(False)), F.lit(None)).otherwise(
             F.col(c)
         )
-        cell = F.when(written, F.struct(F.col(COL_TS).alias("ts"), payload.alias("v")))
+        # the struct rides the winning write's TTL along with it
+        # (replicator binds/unsets TTL per statement, Main.java:131-138);
+        # ts is tie-free, so the extra field never affects the max order
+        cell = F.when(
+            written,
+            F.struct(
+                F.col(COL_TS).alias("ts"),
+                payload.alias("v"),
+                F.col(COL_TTL).alias("ttl"),
+            ),
+        )
         aggs.append(F.max(cell).alias(f"__cell_{c}"))
     return aggs
 
@@ -114,16 +126,31 @@ def _fold_keyed_pandas(keyed: DataFrame, pk: list[str], value_cols: list[str],
         + ", ".join(f"`{c}` string" for c in value_cols)
         + ", "
         + ", ".join(f"`_ts_{c}` long" for c in value_cols)
-        + f", `{COL_MARKER_TS}` long, `_row_tomb` long"
+        + ", "
+        + ", ".join(f"`_ttl_{c}` long" for c in value_cols)
+        + f", `{COL_MARKER_TS}` long, `{COL_MARKER_TTL}` long, `_row_tomb` long"
     )
     m_ops = set(marker_ops)
 
     def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
         ts = pdf[COL_TS].to_numpy()
         op = pdf[COL_OP].to_numpy()
+        ttl = pdf[COL_TTL]
         res: dict = {c: pdf.iloc[0][c] for c in pk}
+
+        def _ttl_at(i: int):
+            t = ttl.iloc[i]
+            return None if pd.isna(t) else int(t)
+
         is_marker = np.isin(op, list(m_ops))
-        res[COL_MARKER_TS] = int(ts[is_marker].max()) if is_marker.any() else None
+        if is_marker.any():
+            idxs = np.flatnonzero(is_marker)
+            win = idxs[int(np.argmax(ts[is_marker]))]
+            res[COL_MARKER_TS] = int(ts[win])
+            res[COL_MARKER_TTL] = _ttl_at(win)
+        else:
+            res[COL_MARKER_TS] = None
+            res[COL_MARKER_TTL] = None
         is_del = op == OP_ROW_DELETE
         res["_row_tomb"] = int(ts[is_del].max()) if is_del.any() else None
         for c in value_cols:
@@ -138,9 +165,11 @@ def _fold_keyed_pandas(keyed: DataFrame, pk: list[str], value_cols: list[str],
                 win = idxs[i]
                 res[c] = None if d[win] else v.iloc[win]
                 res[f"_ts_{c}"] = int(ts[win])
+                res[f"_ttl_{c}"] = _ttl_at(win)
             else:
                 res[c] = None
                 res[f"_ts_{c}"] = None
+                res[f"_ttl_{c}"] = None
         return pd.DataFrame([res])
 
     return keyed.groupBy(*pk).applyInPandas(_fold, schema=out_ddl)
@@ -181,6 +210,8 @@ def fold_batch(
     for c in value_cols:  # tolerate logs without some deleted-marker cols
         if deleted_col(c) not in df.columns:
             df = df.withColumn(deleted_col(c), F.lit(None).cast("boolean"))
+    if COL_TTL not in df.columns:  # tolerate TTL-less logs
+        df = df.withColumn(COL_TTL, F.lit(None).cast("long"))
 
     pk = list(table.primary_key)
     part_key = list(table.partition_key)
@@ -212,9 +243,13 @@ def fold_batch(
     else:
         aggs = _cell_aggs(table, value_cols)
         aggs.append(
-            F.max(F.when(F.col(COL_OP).isin(marker_ops), F.col(COL_TS))).alias(
-                COL_MARKER_TS
-            )
+            F.max(
+                F.when(
+                    F.col(COL_OP).isin(marker_ops),
+                    F.struct(F.col(COL_TS).alias("ts"),
+                             F.col(COL_TTL).alias("ttl")),
+                )
+            ).alias("__marker")
         )
         aggs.append(
             F.max(F.when(F.col(COL_OP) == OP_ROW_DELETE, F.col(COL_TS))).alias(
@@ -222,12 +257,18 @@ def fold_batch(
             )
         )
         key_state = keyed.groupBy(*pk).agg(*aggs)
-        # flatten cells into (value, _ts_<c>) pairs
+        # flatten cells into (value, _ts_<c>, _ttl_<c>) triples
         for c in value_cols:
-            key_state = key_state.withColumn(c, F.col(f"__cell_{c}.v")).withColumn(
-                f"_ts_{c}", F.col(f"__cell_{c}.ts")
+            key_state = (
+                key_state.withColumn(c, F.col(f"__cell_{c}.v"))
+                .withColumn(f"_ts_{c}", F.col(f"__cell_{c}.ts"))
+                .withColumn(f"_ttl_{c}", F.col(f"__cell_{c}.ttl"))
             )
-        key_state = key_state.drop(*[f"__cell_{c}" for c in value_cols])
+        key_state = (
+            key_state.withColumn(COL_MARKER_TS, F.col("__marker.ts"))
+            .withColumn(COL_MARKER_TTL, F.col("__marker.ttl"))
+            .drop("__marker", *[f"__cell_{c}" for c in value_cols])
+        )
 
     # --- partition tombstones (op 4): tiny per batch, broadcast later ----
     part_tombs = (

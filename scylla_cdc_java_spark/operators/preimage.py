@@ -108,15 +108,19 @@ def check_preimages(
 
     parts = [evs, pseudo_part]
     if range_tombs is not None:
+        from .tombstones import clustering_in_range
+
         rt = range_tombs.select(
-            F.col(repo_col).alias("_r_repo"), "lo", "lo_incl", "hi", "hi_incl",
+            F.col(repo_col).alias("_r_repo"),
+            F.struct("lo", "lo_incl", "hi", "hi_incl").alias("_rng"),
             F.col("ts").alias("_rts"),
         )
         pseudo_rt = keys.join(
             F.broadcast(rt),
             (F.col(repo_col) == F.col("_r_repo"))
-            & F.when(F.col("lo_incl"), F.col(path_col) >= F.col("lo")).otherwise(F.col(path_col) > F.col("lo"))
-            & F.when(F.col("hi_incl"), F.col(path_col) <= F.col("hi")).otherwise(F.col(path_col) < F.col("hi")),
+            & clustering_in_range(
+                [F.col(c) for c in table.clustering_key], F.col("_rng")
+            ),
             "inner",
         )
         parts.append(

@@ -16,15 +16,18 @@ A start with no following end inside the batch is *carryover* state for
 the checkpoint (the reference holds it in memory across fetch windows);
 the next batch injects it back as a synthetic start row.
 
-Single clustering column (``path``) is assumed, matching the BASELINE
-table; the reference generalizes to PK prefixes of any length
-(Main.java:394-416) — a multi-column clustering key would use a struct
-bound here.
+Multi-column clustering keys: the reference prepares a ranged DELETE for
+every clustering-prefix length x inclusivity combination
+(Main.java:394-416) — a bound is a PREFIX of the clustering key. Bounds
+here are therefore ``array<string>`` values aligned with
+``table.clustering_key`` with NULLs after the prefix; comparison is
+prefix-lexicographic (``clustering_in_range``) exactly like CQL's
+multi-column relations restricted to the bound's prefix.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..model import (
     COL_OP,
@@ -38,12 +41,38 @@ from ..model import (
 )
 
 
+def clustering_in_range(row_cols: list[Column], r) -> Column:
+    """True iff the row's clustering tuple falls inside range-struct
+    ``r`` (fields: lo array, lo_incl, hi array, hi_incl). Bounds compare
+    on their non-NULL prefix only — a length-L bound covers every row
+    sharing the compared relation on the first L components (the
+    reference's per-prefix-length prepared DELETEs, Main.java:394-416)."""
+    n = len(row_cols)
+
+    def _side(bound, incl, strict_op):
+        eq = F.lit(True)
+        strict = F.lit(False)
+        for i in range(n):
+            bi = F.element_at(bound, i + 1)
+            strict = strict | (eq & bi.isNotNull() & strict_op(row_cols[i], bi))
+            eq = eq & (bi.isNull() | (row_cols[i] == bi))
+        return strict | (eq & incl)
+
+    above = _side(r["lo"], r["lo_incl"], lambda a, b: a > b)
+    below = _side(r["hi"], r["hi_incl"], lambda a, b: a < b)
+    return above & below
+
+
+def _bound_array(table: TableConfig) -> Column:
+    return F.array(*[F.col(c) for c in table.clustering_key])
+
+
 def pair_range_bounds(
     range_df: DataFrame, table: TableConfig
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """range_df: only ops 5-8, columns [stream_id, ts, op, part_key...,
-    clustering col]. Returns (closed_ranges, pending_starts,
-    pending_ends).
+    clustering cols]. Returns (closed_ranges, pending_starts,
+    pending_ends) — bounds as clustering-prefix arrays.
 
     pending_ends exist only under out-of-order *batch* delivery (the
     Structured Streaming file source may hand a later file first): an
@@ -51,14 +80,16 @@ def pair_range_bounds(
     the START shows up — the mirror image of the reference's
     start-carryover (Main.java:491-531), which only needs one direction
     because its windows are chronological."""
-    ck = table.clustering_key[0]
     part_key = list(table.partition_key)
 
     w = Window.partitionBy(COL_STREAM_ID).orderBy(COL_TS)
     paired = (
-        range_df.select(COL_STREAM_ID, COL_TS, COL_OP, *part_key, ck)
+        range_df.select(
+            COL_STREAM_ID, COL_TS, COL_OP, *part_key,
+            _bound_array(table).alias("_bound"),
+        )
         .withColumn("_prev_op", F.lag(COL_OP).over(w))
-        .withColumn("_prev_bound", F.lag(ck).over(w))
+        .withColumn("_prev_bound", F.lag("_bound").over(w))
         .withColumn("_next_op", F.lead(COL_OP).over(w))
     )
     closed = (
@@ -70,19 +101,27 @@ def pair_range_bounds(
             *part_key,
             F.col("_prev_bound").alias("lo"),
             (F.col("_prev_op") == OP_RANGE_DELETE_START_INCLUSIVE).alias("lo_incl"),
-            F.col(ck).alias("hi"),
+            F.col("_bound").alias("hi"),
             (F.col(COL_OP) == OP_RANGE_DELETE_END_INCLUSIVE).alias("hi_incl"),
             F.col(COL_TS).alias("ts"),
         )
     )
     pending = (
+        # A start is pending when nothing follows it in the batch, OR
+        # when the next range row of its stream is ANOTHER start (its
+        # own end is delayed to a later out-of-order batch: delivery
+        # START1, START2, END2 must carry START1, not drop it).
         paired.where(
-            F.col(COL_OP).isin(list(RANGE_START_OPS)) & F.col("_next_op").isNull()
+            F.col(COL_OP).isin(list(RANGE_START_OPS))
+            & (
+                F.col("_next_op").isNull()
+                | F.col("_next_op").isin(list(RANGE_START_OPS))
+            )
         )
         .select(
             COL_STREAM_ID,
             *part_key,
-            F.col(ck).alias("lo"),
+            F.col("_bound").alias("lo"),
             (F.col(COL_OP) == OP_RANGE_DELETE_START_INCLUSIVE).alias("lo_incl"),
             F.col(COL_TS).alias("ts"),
         )
@@ -98,7 +137,7 @@ def pair_range_bounds(
         .select(
             COL_STREAM_ID,
             *part_key,
-            F.col(ck).alias("hi"),
+            F.col("_bound").alias("hi"),
             (F.col(COL_OP) == OP_RANGE_DELETE_END_INCLUSIVE).alias("hi_incl"),
             F.col(COL_TS).alias("ts"),
         )
@@ -115,12 +154,18 @@ def extract_range_tombstones(
     """Filter ops 5-8 out of a normalized batch, inject checkpointed
     pending starts (and, for out-of-order streaming delivery, pending
     ends), pair, and split closed ranges from new carryover."""
-    ck = table.clustering_key[0]
+    cks = list(table.clustering_key)
     part_key = list(table.partition_key)
-    cols = [COL_STREAM_ID, COL_TS, COL_OP, *part_key, ck]
+    cols = [COL_STREAM_ID, COL_TS, COL_OP, *part_key, *cks]
     range_df = log_df.where(
         F.col(COL_OP).isin(list(RANGE_START_OPS) + list(RANGE_END_OPS))
     ).select(*cols)
+
+    def _ck_values(bound) -> list:
+        # checkpointed bounds are lists aligned to the clustering key;
+        # tolerate legacy scalar bounds (single-ck checkpoints)
+        vals = list(bound) if isinstance(bound, (list, tuple)) else [bound]
+        return vals + [None] * (len(cks) - len(vals))
 
     inj_rows = [
         (
@@ -132,7 +177,7 @@ def extract_range_tombstones(
                 else OP_RANGE_DELETE_START_INCLUSIVE + 1
             ),
             *[p[k] for k in part_key],
-            p["lo"],
+            *_ck_values(p["lo"]),
         )
         for p in pending_range_starts
     ] + [
@@ -145,7 +190,7 @@ def extract_range_tombstones(
                 else OP_RANGE_DELETE_END_INCLUSIVE + 1
             ),
             *[p[k] for k in part_key],
-            p["hi"],
+            *_ck_values(p["hi"]),
         )
         for p in (pending_range_ends or [])
     ]
@@ -153,7 +198,8 @@ def extract_range_tombstones(
         schema_ddl = (
             f"`{COL_STREAM_ID}` binary, `{COL_TS}` long, `{COL_OP}` tinyint, "
             + ", ".join(f"`{k}` string" for k in part_key)
-            + f", `{ck}` string"
+            + ", "
+            + ", ".join(f"`{c}` string" for c in cks)
         )
         inj = log_df.sparkSession.createDataFrame(inj_rows, schema=schema_ddl)
         range_df = inj.unionByName(range_df)

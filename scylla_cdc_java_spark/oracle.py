@@ -26,7 +26,6 @@ separately so coverage applies to keys never seen in the log slice.
 from __future__ import annotations
 
 import hashlib
-from bisect import insort
 from dataclasses import dataclass, field
 
 from .model import (
@@ -48,50 +47,97 @@ from .model import (
 NEG_INF = -1  # "no tombstone" sentinel (all real ts are >= 0)
 
 
+def _prefix_cmp(ck: tuple, bound: tuple) -> int:
+    """Lexicographic comparison restricted to the bound's non-None
+    prefix (the reference prepares a ranged DELETE per clustering-prefix
+    length, Main.java:394-416). 0 means the row matches the prefix."""
+    for c, b in zip(ck, bound):
+        if b is None:
+            break
+        if c < b:
+            return -1
+        if c > b:
+            return 1
+    return 0
+
+
+def _expired(ts: int, ttl, as_of_ms) -> bool:
+    """Scylla expires a cell at write-time + TTL (the replicator re-binds
+    the logged TTL on every statement, Main.java:131-138); the lake sink
+    applies the same rule at read time given an observation instant."""
+    from .model import SEQ_MOD
+
+    return (
+        ttl is not None
+        and as_of_ms is not None
+        and (ts // SEQ_MOD) + ttl * 1000 <= as_of_ms
+    )
+
+
 @dataclass
 class OracleState:
     table: TableConfig = DEFAULT_TABLE
-    # (repo, path) -> {col: (value_or_None, ts)}
+    # (repo, path) -> {col: (value_or_None, ts, ttl_or_None)}
     cells: dict = field(default_factory=dict)
-    # (repo, path) -> marker ts (from INSERT)
+    # (repo, path) -> (marker ts, marker ttl) (from INSERT)
     markers: dict = field(default_factory=dict)
     # (repo, path) -> row tombstone ts
     row_tombs: dict = field(default_factory=dict)
     # repo -> partition tombstone ts
     part_tombs: dict = field(default_factory=dict)
-    # repo -> sorted list of (lo, lo_incl, hi, hi_incl, ts)
+    # repo -> list of (lo_tuple, lo_incl, hi_tuple, hi_incl, ts);
+    # bounds are clustering-key prefixes (None past the prefix)
     range_tombs: dict = field(default_factory=dict)
-    # stream_id -> pending (repo, lo_path, inclusive) range start
+    # stream_id -> pending (repo, lo_tuple, inclusive) range start
     pending_range: dict = field(default_factory=dict)
 
-    def covering_tomb(self, repo: str, path: str) -> int:
-        t = self.row_tombs.get((repo, path), NEG_INF)
+    def _ck(self, path) -> tuple:
+        """Normalize a clustering key: scalar (single-column tables) or
+        tuple/list aligned with table.clustering_key."""
+        if isinstance(path, (tuple, list)):
+            return tuple(path)
+        return (path,)
+
+    def covering_tomb(self, repo: str, path) -> int:
+        ck = self._ck(path)
+        t = self.row_tombs.get((repo, ck), NEG_INF)
         t = max(t, self.part_tombs.get(repo, NEG_INF))
         for lo, lo_incl, hi, hi_incl, ts in self.range_tombs.get(repo, ()):
-            lo_ok = (path >= lo) if lo_incl else (path > lo)
-            hi_ok = (path <= hi) if hi_incl else (path < hi)
+            clo = _prefix_cmp(ck, lo)
+            chi = _prefix_cmp(ck, hi)
+            lo_ok = clo > 0 or (clo == 0 and lo_incl)
+            hi_ok = chi < 0 or (chi == 0 and hi_incl)
             if lo_ok and hi_ok:
                 t = max(t, ts)
         return t
 
-    def row_live(self, repo: str, path: str) -> bool:
-        tomb = self.covering_tomb(repo, path)
-        if self.markers.get((repo, path), NEG_INF) > tomb:
+    def row_live(self, repo: str, path, as_of_ms=None) -> bool:
+        ck = self._ck(path)
+        tomb = self.covering_tomb(repo, ck)
+        mts, mttl = self.markers.get((repo, ck), (NEG_INF, None))
+        if mts > tomb and not _expired(mts, mttl, as_of_ms):
             return True
-        for v, ts in self.cells.get((repo, path), {}).values():
-            if v is not None and ts > tomb:
+        for v, ts, ttl in self.cells.get((repo, ck), {}).values():
+            if v is not None and ts > tomb and not _expired(ts, ttl, as_of_ms):
                 return True
         return False
 
-    def visible_row(self, repo: str, path: str) -> dict | None:
-        if not self.row_live(repo, path):
+    def visible_row(self, repo: str, path, as_of_ms=None) -> dict | None:
+        ck = self._ck(path)
+        if not self.row_live(repo, ck, as_of_ms):
             return None
-        tomb = self.covering_tomb(repo, path)
-        out = {"repo": repo, "path": path}
-        cells = self.cells.get((repo, path), {})
+        tomb = self.covering_tomb(repo, ck)
+        out = {"repo": repo}
+        out.update(dict(zip(self.table.clustering_key, ck)))
+        cells = self.cells.get((repo, ck), {})
         for c in self.table.value_columns:
-            v, ts = cells.get(c, (None, NEG_INF))
-            out[c] = v if (v is not None and ts > tomb) else None
+            v, ts, ttl = cells.get(c, (None, NEG_INF, None))
+            out[c] = (
+                v
+                if (v is not None and ts > tomb
+                    and not _expired(ts, ttl, as_of_ms))
+                else None
+            )
         return out
 
 
@@ -103,11 +149,15 @@ def apply_event(st: OracleState, ev: dict) -> None:
         ts = pack_time(ev["ms"], ev["seq"])
     op = ev["op"]
     repo = ev["repo"]
-    path = ev.get("path")
-    key = (repo, path)
     tbl = st.table
+    if len(tbl.clustering_key) == 1:
+        ck = st._ck(ev.get(tbl.clustering_key[0]))
+    else:
+        ck = tuple(ev.get(c) for c in tbl.clustering_key)
+    key = (repo, ck)
 
     if op in (OP_ROW_UPDATE, OP_ROW_INSERT, OP_POSTIMAGE):
+        ttl = ev.get("ttl")
         cells = st.cells.setdefault(key, {})
         for c in tbl.value_columns:
             v = ev.get(c)
@@ -125,10 +175,10 @@ def apply_event(st: OracleState, ev: dict) -> None:
             if written:
                 old = cells.get(c)
                 if old is None or ts > old[1]:
-                    cells[c] = (val, ts)
+                    cells[c] = (val, ts, ttl)
         if op in (OP_ROW_INSERT, OP_POSTIMAGE):
-            if ts > st.markers.get(key, NEG_INF):
-                st.markers[key] = ts
+            if ts > st.markers.get(key, (NEG_INF, None))[0]:
+                st.markers[key] = (ts, ttl)
     elif op == OP_ROW_DELETE:
         if ts > st.row_tombs.get(key, NEG_INF):
             st.row_tombs[key] = ts
@@ -138,7 +188,7 @@ def apply_event(st: OracleState, ev: dict) -> None:
     elif op in (OP_RANGE_DELETE_START_INCLUSIVE, OP_RANGE_DELETE_START_EXCLUSIVE):
         st.pending_range[ev["stream_id"]] = (
             repo,
-            path,
+            ck,
             op == OP_RANGE_DELETE_START_INCLUSIVE,
         )
     elif op in (OP_RANGE_DELETE_END_INCLUSIVE, OP_RANGE_DELETE_END_EXCLUSIVE):
@@ -147,9 +197,8 @@ def apply_event(st: OracleState, ev: dict) -> None:
             raise ValueError("range end without start (stream pairing broken)")
         s_repo, lo, lo_incl = start
         hi_incl = op == OP_RANGE_DELETE_END_INCLUSIVE
-        insort(
-            st.range_tombs.setdefault(s_repo, []),
-            (lo, lo_incl, path, hi_incl, ts),
+        st.range_tombs.setdefault(s_repo, []).append(
+            (lo, lo_incl, ck, hi_incl, ts)
         )
     elif op == OP_PREIMAGE:
         pass  # verification-only rows (replicator Main.java:653-666)
@@ -169,6 +218,7 @@ def replay(events: dict, table: TableConfig = DEFAULT_TABLE) -> OracleState:
                 "op": events["op"][i],
                 "ms": events["ms"][i],
                 "seq": events["seq"][i],
+                "ttl": events["ttl"][i],
                 "stream_id": events["stream_id"][i],
                 "repo": events["repo"][i],
                 "path": events["path"][i],
@@ -183,18 +233,23 @@ def replay(events: dict, table: TableConfig = DEFAULT_TABLE) -> OracleState:
     return st
 
 
-def final_state(st: OracleState) -> list[dict]:
+def final_state(st: OracleState, as_of_ms=None) -> list[dict]:
     """Visible rows, sorted by (repo, path); adds content_sha256 for the
-    BASELINE per-row invariant."""
+    BASELINE per-row invariant. ``as_of_ms`` applies TTL expiry as of
+    that instant (None = ignore TTLs, the replicator's view when nothing
+    has expired yet)."""
     keys = set(st.cells) | set(st.markers) | set(st.row_tombs)
     out = []
-    for repo, path in sorted(k for k in keys if k[1] is not None):
-        row = st.visible_row(repo, path)
+    for repo, ck in sorted(
+        k for k in keys if any(v is not None for v in k[1])
+    ):
+        row = st.visible_row(repo, ck, as_of_ms)
         if row is not None:
-            row["content_sha256"] = (
-                hashlib.sha256(row["content"].encode()).hexdigest()
-                if row["content"] is not None
-                else None
-            )
+            if "content" in row:
+                row["content_sha256"] = (
+                    hashlib.sha256(row["content"].encode()).hexdigest()
+                    if row["content"] is not None
+                    else None
+                )
             out.append(row)
     return out

@@ -52,12 +52,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..model import (
     COL_LIVE,
     COL_MARKER_TS,
+    COL_MARKER_TTL,
     COL_TOMB_TS,
+    SEQ_BITS,
     TableConfig,
     DEFAULT_TABLE,
     ts_col,
+    ttl_col,
 )
 from ..operators.fold import FoldResult
+from ..operators.tombstones import clustering_in_range
 
 NEG_INF = -1
 BUCKET_COL = "__bucket"
@@ -132,8 +136,10 @@ class ParquetMergeSink:
         parts = [f"`{c}` string" for c in self.table.primary_key]
         parts += [f"`{c}` string" for c in value_columns]
         parts += [f"`{ts_col(c)}` long" for c in value_columns]
+        parts += [f"`{ttl_col(c)}` long" for c in value_columns]
         parts += [
             f"`{COL_MARKER_TS}` long",
+            f"`{COL_MARKER_TTL}` long",
             f"`{COL_TOMB_TS}` long",
             f"`{COL_LIVE}` boolean",
         ]
@@ -146,20 +152,48 @@ class ParquetMergeSink:
             sel = {str(b): p for b in buckets if (p := m["buckets"].get(str(b)))}
         dirs = [os.path.join(self.path, p) for p in sel.values()]
         dirs = [d for d in dirs if os.path.exists(d)]
+        ddl = self._physical_schema_ddl(m["value_columns"])
         if not dirs:
-            return self.spark.createDataFrame(
-                [], schema=self._physical_schema_ddl(m["value_columns"])
-            )
-        return self.spark.read.parquet(*dirs).drop(BUCKET_COL)
+            return self.spark.createDataFrame([], schema=ddl)
+        # explicit schema (the manifest IS the schema registry): buckets
+        # written before a schema evolution simply read the new columns
+        # as NULL — no footer-merging pass, no random-file schema pick
+        return self.spark.read.schema(ddl).parquet(*dirs)
 
-    def read(self) -> DataFrame:
-        """Public view: live rows, logical columns only."""
+    def read(self, as_of_ms: int | None = None) -> DataFrame:
+        """Public view: live rows, logical columns only. ``as_of_ms``
+        applies TTL expiry as of that instant (Scylla expires a cell at
+        write-time + TTL; the lake sink applies the same rule at read
+        time — None skips the check entirely, zero overhead)."""
         m = self.manifest()
-        return (
-            self.read_physical()
-            .where(F.col(COL_LIVE))
-            .select(*self.table.primary_key, *m["value_columns"])
-        )
+        vcols = m["value_columns"]
+        phys = self.read_physical()
+        if as_of_ms is None:
+            return phys.where(F.col(COL_LIVE)).select(
+                *self.table.primary_key, *vcols
+            )
+
+        def _expired(ts, ttl):
+            return ttl.isNotNull() & (
+                F.shiftright(ts, SEQ_BITS) + ttl * 1000 <= F.lit(as_of_ms)
+            )
+
+        live_terms = [
+            (F.col(COL_MARKER_TS) > F.col(COL_TOMB_TS))
+            & ~_expired(F.col(COL_MARKER_TS), F.col(COL_MARKER_TTL))
+        ]
+        sel = list(self.table.primary_key)
+        for c in vcols:
+            alive = F.col(c).isNotNull() & ~_expired(
+                F.col(ts_col(c)), F.col(ttl_col(c))
+            )
+            phys = phys.withColumn(c, F.when(alive, F.col(c)))
+            live_terms.append(F.col(c).isNotNull())
+            sel.append(c)
+        live = live_terms[0]
+        for t in live_terms[1:]:
+            live = live | t
+        return phys.where(live).select(*sel)
 
     # ------------------------------------------------------------------
     # merge (the whole write engine of SURVEY.md section 2.3)
@@ -197,6 +231,10 @@ class ParquetMergeSink:
                 src = src.withColumn(c, F.lit(None).cast("string")).withColumn(
                     ts_col(c), F.lit(None).cast("long")
                 )
+            if ttl_col(c) not in src.columns:
+                src = src.withColumn(ttl_col(c), F.lit(None).cast("long"))
+        if COL_MARKER_TTL not in src.columns:
+            src = src.withColumn(COL_MARKER_TTL, F.lit(None).cast("long"))
         part_tombs = fold.part_tombs.withColumnRenamed("ts", "_pt_ts")
         range_tombs = fold.range_tombs
         persisted = []
@@ -234,20 +272,24 @@ class ParquetMergeSink:
             if c not in tgt.columns:
                 tgt = tgt.withColumn(c, F.lit(None).cast("string")).withColumn(
                     ts_col(c), F.lit(None).cast("long")
-                )
+                ).withColumn(ttl_col(c), F.lit(None).cast("long"))
 
         t = tgt.select(
             *[F.col(c).alias(f"t_{c}") for c in pk],
             *[F.col(c).alias(f"tv_{c}") for c in value_cols],
             *[F.col(ts_col(c)).alias(f"tts_{c}") for c in value_cols],
+            *[F.col(ttl_col(c)).alias(f"tttl_{c}") for c in value_cols],
             F.col(COL_MARKER_TS).alias("t_marker"),
+            F.col(COL_MARKER_TTL).alias("t_mttl"),
             F.col(COL_TOMB_TS).alias("t_tomb"),
         )
         s = src.select(
             *[F.col(c).alias(f"s_{c}") for c in pk],
             *[F.col(c).alias(f"sv_{c}") for c in value_cols],
             *[F.col(ts_col(c)).alias(f"sts_{c}") for c in value_cols],
+            *[F.col(ttl_col(c)).alias(f"sttl_{c}") for c in value_cols],
             F.col(COL_MARKER_TS).alias("s_marker"),
+            F.col(COL_MARKER_TTL).alias("s_mttl"),
             F.col("_row_tomb").alias("s_row_tomb"),
         )
         cond = [t[f"t_{c}"].eqNullSafe(s[f"s_{c}"]) for c in pk]
@@ -276,14 +318,10 @@ class ParquetMergeSink:
             F.col(repo_col) == F.col("_rt_repo"),
             "left",
         ).drop("_rt_repo")
-        in_range = lambda r: (  # noqa: E731
-            F.when(r["lo_incl"], F.col(path_col) >= r["lo"]).otherwise(
-                F.col(path_col) > r["lo"]
-            )
-            & F.when(r["hi_incl"], F.col(path_col) <= r["hi"]).otherwise(
-                F.col(path_col) < r["hi"]
-            )
-        )
+        # prefix-lexicographic range coverage over the (possibly
+        # multi-column) clustering key — Main.java:394-416 semantics
+        ck_cols = [F.col(c) for c in tbl.clustering_key]
+        in_range = lambda r: clustering_in_range(ck_cols, r)  # noqa: E731
         j = j.withColumn(
             "_rt_ts",
             F.array_max(
@@ -307,6 +345,14 @@ class ParquetMergeSink:
                 F.coalesce(F.col("t_marker"), F.lit(NEG_INF)),
                 F.coalesce(F.col("s_marker"), F.lit(NEG_INF)),
             ),
+        ).withColumn(
+            # the winning marker's TTL follows the winning marker ts
+            COL_MARKER_TTL,
+            F.when(
+                F.coalesce(F.col("s_marker"), F.lit(NEG_INF))
+                > F.coalesce(F.col("t_marker"), F.lit(NEG_INF)),
+                F.col("s_mttl"),
+            ).otherwise(F.col("t_mttl")),
         )
         live_terms = [F.col(COL_MARKER_TS) > F.col(COL_TOMB_TS)]
         for c in value_cols:
@@ -322,6 +368,14 @@ class ParquetMergeSink:
             out = out.withColumn(
                 ts_col(c), F.when(new_ts > NEG_INF, new_ts)
             ).withColumn(
+                ttl_col(c),
+                F.when(
+                    new_ts > NEG_INF,
+                    F.when(src_wins, F.col(f"sttl_{c}")).otherwise(
+                        F.col(f"tttl_{c}")
+                    ),
+                ),
+            ).withColumn(
                 c, F.when(new_ts > F.col(COL_TOMB_TS), raw_v).otherwise(F.lit(None))
             )
             live_terms.append(F.col(c).isNotNull())
@@ -333,7 +387,9 @@ class ParquetMergeSink:
             *pk,
             *value_cols,
             *[ts_col(c) for c in value_cols],
+            *[ttl_col(c) for c in value_cols],
             COL_MARKER_TS,
+            COL_MARKER_TTL,
             COL_TOMB_TS,
             COL_LIVE,
         )
@@ -345,7 +401,10 @@ class ParquetMergeSink:
         staging = os.path.join(self.path, rel_out)
         out = out.withColumn(BUCKET_COL, self._bucket_expr()).withColumn(
             "__salt",
-            F.pmod(F.xxhash64(F.col(path_col)), F.lit(self.salt_buckets)).cast("int"),
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in tbl.clustering_key]),
+                F.lit(self.salt_buckets),
+            ).cast("int"),
         )
         n_parts = max(len(touched) * min(self.salt_buckets, 4), 1)
         (

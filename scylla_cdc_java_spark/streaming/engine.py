@@ -176,11 +176,11 @@ class Engine:
                 if g not in self.group_salt
             ]
             pred = F.col(COL_STREAM_GROUP).isin(whole) if whole else F.lit(False)
-            ck = self.table.clustering_key[0]
+            ck_cols = [F.col(c) for c in self.table.clustering_key]
             tomb_op = F.col(COL_OP).between(4, 8)
             for g, (k, i) in self.group_salt.items():
                 shard = tomb_op | (
-                    F.pmod(F.xxhash64(F.col(ck)), F.lit(k)) == F.lit(i)
+                    F.pmod(F.xxhash64(*ck_cols), F.lit(k)) == F.lit(i)
                 )
                 pred = pred | ((F.col(COL_STREAM_GROUP) == g) & shard)
             df = df.where(pred)

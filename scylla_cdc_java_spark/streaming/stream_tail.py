@@ -97,6 +97,15 @@ class StructuredTail:
         ckpt = self.sink.checkpoint() or {
             "pending_ranges": [], "pending_ends": [], "batches": 0,
         }
+        # Redelivery guard: foreachBatch is at-least-once — if the sink
+        # manifest committed batch_id but the stream offset log did not
+        # (crash in between), the restarted query re-delivers the batch.
+        # LWW cells are idempotent but the pending-range pairing state is
+        # NOT (starts consumed by the first apply are gone; re-folding
+        # would strand the replayed ENDs as orphans that could mis-pair
+        # later) — so an already-committed batch is a strict no-op.
+        if batch_id <= ckpt.get("last_stream_batch_id", -1):
+            return
         pending = [
             {**p, "stream_id": bytes.fromhex(p["stream_id"])}
             for p in ckpt.get("pending_ranges", [])

@@ -131,10 +131,9 @@ def test_fingerprints_shift_tolerant(spark, docs):
         F.concat(F.lit("prefix "), F.col("text")).alias("text"),
         "lang", "source", "n_chars",
     )
-    fp = {
-        r["doc_id"]: set(r["fingerprints"])
-        for r in doc_fingerprints(docs.unionByName(near)).collect()
-    }
+    fp: dict = {}
+    for r in doc_fingerprints(docs.unionByName(near)).collect():
+        fp.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     a, b = fp[2], fp[100002 if 100002 in fp else 100000]
     overlap = len(a & b) / max(1, len(a | b))
     assert overlap > 0.5, f"fingerprint overlap too low: {overlap}"
