@@ -92,6 +92,15 @@ def _entry_spec():
                    gen_span_ms=60_000)
 
 
+def _entry_coll_spec():
+    """Collections world for the W7 contract entry (UnpreparedUpdateOp
+    semantics): same shape, tags column enabled."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=43, with_collections=True,
+                               ttl_fraction=0.0)
+
+
 # ---------------------------------------------------------------------------
 # CDC protocol operators over the driver's `events` table
 # (user_id = partition key / stream analog; ts+event_id = cdc$time;
@@ -422,6 +431,57 @@ def q_cdc_replay(spark, sf_dir):
     )
 
 
+def q_cdc_replay_collections(spark, sf_dir):
+    """W7 non-frozen collections through the full engine: replay a world
+    whose writes carry a map<string,string> `tags` column (element adds,
+    per-element removals, whole-map overwrites) and digest the final
+    state; the oracle inlines the digest of the independent Python
+    interpreter's replay of the same log."""
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import FIELD_SEP, NULL_SENTINEL
+    from scylla_cdc_java_spark.model import TableConfig
+
+    spec = _entry_coll_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    tbl = TableConfig(collection_columns=("tags",))
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"],
+        os.path.join(
+            base, f"target_{spec.cache_key()}_{ENTRY_TARGET_VERSION}"
+        ),
+        table=tbl, cfg=EngineConfig(window_length_limit_ms=60_000),
+    )
+    eng.replay()
+    df = eng.sink.read()
+    tags_canon = F.when(
+        F.col("tags").isNotNull(),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_keys(F.col("tags"))),
+                lambda k: F.concat(
+                    k, F.lit("="), F.element_at(F.col("tags"), k)
+                ),
+            ),
+            ",",
+        ),
+    )
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.col("repo"),
+        F.col("path"),
+        *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
+          for c in ("commit", "lang", "content")],
+        F.coalesce(tags_canon, F.lit(NULL_SENTINEL)),
+    )
+    return df.select(line.alias("_l")).agg(
+        F.count("*").alias("n_rows"),
+        F.sha2(
+            F.concat_ws("\n", F.array_sort(F.collect_list("_l"))), 256
+        ).alias("state_sha"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -450,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_lsh": q_ann_lsh,
         "cdc_replay": q_cdc_replay,
+        "cdc_replay_collections": q_cdc_replay_collections,
     }
 
 
@@ -539,6 +600,14 @@ def _golden_oracles() -> dict[str, str]:
         n, sha = G.golden_cdc_digest(_entry_spec())
         out["cdc_replay"] = (
             f"select cast({n} as bigint) as n_rows, '{sha}' as state_sha"
+        )
+        from scylla_cdc_java_spark.model import TableConfig
+
+        nc, shac = G.golden_cdc_digest(
+            _entry_coll_spec(), TableConfig(collection_columns=("tags",))
+        )
+        out["cdc_replay_collections"] = (
+            f"select cast({nc} as bigint) as n_rows, '{shac}' as state_sha"
         )
         _GOLDEN_CACHE = out
     except Exception:

@@ -298,8 +298,8 @@ NULL_SENTINEL = "\x02"
 FIELD_SEP = "\x01"
 
 
-def state_lines(rows: list[dict], value_cols=("commit", "lang", "content")
-                ) -> list[str]:
+def state_lines(rows: list[dict],
+                value_cols=("commit", "lang", "content")) -> list[str]:
     return sorted(
         FIELD_SEP.join(
             [r["repo"], r["path"]]
@@ -309,14 +309,25 @@ def state_lines(rows: list[dict], value_cols=("commit", "lang", "content")
     )
 
 
-def golden_cdc_digest(spec) -> tuple[int, str]:
+def golden_cdc_digest(spec, table=None) -> tuple[int, str]:
     """Replay `spec`'s world through the pure-Python oracle and return
-    (n_rows, sha256 of the sorted canonical state lines)."""
+    (n_rows, sha256 of the sorted canonical state lines). Collection
+    columns canonicalize as sorted ``k=v`` element lists."""
     from ..generator import generate_world
+    from ..model import DEFAULT_TABLE
     from ..oracle import final_state, replay
 
+    table = table or DEFAULT_TABLE
     world = generate_world(spec)
-    rows = final_state(replay(world["events"]))
-    lines = state_lines(rows)
+    rows = final_state(replay(world["events"], table=table))
+    for r in rows:
+        for c in table.collection_columns:
+            r[c] = (
+                ",".join(f"{k}={v}" for k, v in sorted(r[c].items()))
+                if r[c] else None
+            )
+    lines = state_lines(
+        rows, value_cols=table.value_columns + table.collection_columns
+    )
     sha = hashlib.sha256("\n".join(lines).encode()).hexdigest()
     return len(rows), sha

@@ -79,6 +79,11 @@ class GenSpec:
     # ---- fields added after /v2; default values leave cache keys (and
     # the generated world) bit-identical to /v2 ----
     ttl_fraction: float = 0.05  # fraction of writes carrying a cdc$ttl
+    # non-frozen collection column `tags` map<string,string> with
+    # element adds/removals and whole-map overwrites (reference:
+    # UnpreparedUpdateOp, replicator Main.java:203-276); off by default
+    # so /v2 worlds stay bit-identical
+    with_collections: bool = False
 
     def cache_key(self) -> str:
         # /v2: index-stable stream grouping changed the physical layout.
@@ -223,15 +228,55 @@ def generate_world(spec: GenSpec) -> dict:
         rng.random(n) < spec.ttl_fraction, rng.integers(60, 86_400, size=n), -1
     )
 
+    # collection payload draws — gated so the /v2 RNG stream (and hence
+    # every cached world) is untouched when collections are off
+    if spec.with_collections:
+        tag_mode = rng.random(n)
+        tag_nkeys = rng.integers(1, 4, size=n)
+        tag_keys = rng.integers(0, 8, size=(n, 3))
+        tag_vals = rng.integers(0, len(tokens), size=(n, 3))
+        rm_nkeys = rng.integers(1, 3, size=n)
+        rm_keys = rng.integers(0, 8, size=(n, 2))
+
+        def tags_of(i: int, op: int):
+            """(tags dict|None, del_tags bool|None, del_elements|None).
+            INSERTs bind the whole collection (CDC encodes that as an
+            overwrite: deleted marker + elements); UPDATEs are mostly
+            element adds, sometimes removals, sometimes overwrites."""
+            m = tag_mode[i]
+            if m < 0.30 or op == OP_ROW_INSERT:
+                ent = {
+                    f"k{int(tag_keys[i, j])}": str(tokens[int(tag_vals[i, j])])
+                    for j in range(int(tag_nkeys[i]))
+                }
+                if op == OP_ROW_INSERT:
+                    return ent, True, None
+                return ent, None, None
+            if m < 0.38:
+                return None, None, sorted(
+                    {f"k{int(rm_keys[i, j])}" for j in range(int(rm_nkeys[i]))}
+                )
+            if m < 0.41:
+                ent = {
+                    f"k{int(tag_keys[i, j])}": str(tokens[int(tag_vals[i, j])])
+                    for j in range(max(1, int(tag_nkeys[i]) - 1))
+                }
+                return ent, True, None
+            return None, None, None
+    else:
+        def tags_of(i: int, op: int):
+            return None, None, None
+
     rows: dict[str, list] = {k: [] for k in (
         "stream_id", "ms", "seq", "op", "ttl", "batch_seq", "repo", "path",
         "commit", "lang", "content", "del_commit", "del_lang", "del_content",
+        "tags", "del_tags", "del_elements_tags",
         "generation", "time_bucket",
     )}
     seq_counter = 0
 
     def emit(stream_id, ms_i, op, ttl_i, bseq, repo, path, commit, lang, content,
-             dc, dl, dct, gstart):
+             dc, dl, dct, gstart, tags=None, del_tags=None, del_elements=None):
         nonlocal seq_counter
         rows["stream_id"].append(stream_id)
         rows["ms"].append(ms_i)
@@ -248,6 +293,9 @@ def generate_world(spec: GenSpec) -> dict:
         rows["del_commit"].append(dc)
         rows["del_lang"].append(dl)
         rows["del_content"].append(dct)
+        rows["tags"].append(tags)
+        rows["del_tags"].append(del_tags)
+        rows["del_elements_tags"].append(del_elements)
         rows["generation"].append(gstart)
         rows["time_bucket"].append(ms_i // spec.time_bucket_ms)
 
@@ -262,6 +310,7 @@ def generate_world(spec: GenSpec) -> dict:
         op = int(ops[i])
         ttl_i = None if ttl[i] < 0 else int(ttl[i])
         if op == OP_ROW_UPDATE:
+            tg, dtg, del_el = tags_of(i, op)
             emit(
                 sid, int(ms[i]), op, ttl_i, 0, repo, path,
                 None if del_commit[i] else (commits[i] if wr_commit[i] else None),
@@ -269,10 +318,13 @@ def generate_world(spec: GenSpec) -> dict:
                 None if del_content[i] else (contents[i] if wr_content[i] else None),
                 bool(del_commit[i]) or None, bool(del_lang[i]) or None,
                 bool(del_content[i]) or None, gstart,
+                tags=tg, del_tags=dtg, del_elements=del_el,
             )
         elif op == OP_ROW_INSERT:
+            tg, dtg, del_el = tags_of(i, op)
             emit(sid, int(ms[i]), op, ttl_i, 0, repo, path,
-                 commits[i], lang, contents[i], None, None, None, gstart)
+                 commits[i], lang, contents[i], None, None, None, gstart,
+                 tags=tg, del_tags=dtg, del_elements=del_el)
         elif op == OP_ROW_DELETE:
             emit(sid, int(ms[i]), op, None, 0, repo, path,
                  None, None, None, None, None, None, gstart)
@@ -372,29 +424,37 @@ def write_world(world: dict, out_dir: str, stream_group_of=None) -> dict:
         [stream_group_of(ev["generation"][i], ev["stream_id"][i]) for i in range(n)],
         dtype=np.int32,
     )
-    tbl = pa.table(
-        {
-            "cdc$stream_id": pa.array(ev["stream_id"], pa.binary()),
-            "cdc$time": pa.StructArray.from_arrays(
-                [pa.array(ev["ms"], pa.int64()), pa.array(ev["seq"], pa.int64())],
-                names=["ms", "seq"],
-            ),
-            "cdc$operation": pa.array(ev["op"], pa.int8()),
-            "cdc$ttl": pa.array(ev["ttl"], pa.int64()),
-            "cdc$batch_seq_no": pa.array(ev["batch_seq"], pa.int32()),
-            "repo": pa.array(ev["repo"], pa.string()),
-            "path": pa.array(ev["path"], pa.string()),
-            "commit": pa.array(ev["commit"], pa.string()),
-            "lang": pa.array(ev["lang"], pa.string()),
-            "content": pa.array(ev["content"], pa.string()),
-            "cdc$deleted_commit": pa.array(ev["del_commit"], pa.bool_()),
-            "cdc$deleted_lang": pa.array(ev["del_lang"], pa.bool_()),
-            "cdc$deleted_content": pa.array(ev["del_content"], pa.bool_()),
-            "generation": pa.array(ev["generation"], pa.int64()),
-            "stream_group": pa.array(groups, pa.int32()),
-            "time_bucket": pa.array(ev["time_bucket"], pa.int64()),
-        }
-    )
+    cols = {
+        "cdc$stream_id": pa.array(ev["stream_id"], pa.binary()),
+        "cdc$time": pa.StructArray.from_arrays(
+            [pa.array(ev["ms"], pa.int64()), pa.array(ev["seq"], pa.int64())],
+            names=["ms", "seq"],
+        ),
+        "cdc$operation": pa.array(ev["op"], pa.int8()),
+        "cdc$ttl": pa.array(ev["ttl"], pa.int64()),
+        "cdc$batch_seq_no": pa.array(ev["batch_seq"], pa.int32()),
+        "repo": pa.array(ev["repo"], pa.string()),
+        "path": pa.array(ev["path"], pa.string()),
+        "commit": pa.array(ev["commit"], pa.string()),
+        "lang": pa.array(ev["lang"], pa.string()),
+        "content": pa.array(ev["content"], pa.string()),
+        "cdc$deleted_commit": pa.array(ev["del_commit"], pa.bool_()),
+        "cdc$deleted_lang": pa.array(ev["del_lang"], pa.bool_()),
+        "cdc$deleted_content": pa.array(ev["del_content"], pa.bool_()),
+        "generation": pa.array(ev["generation"], pa.int64()),
+        "stream_group": pa.array(groups, pa.int32()),
+        "time_bucket": pa.array(ev["time_bucket"], pa.int64()),
+    }
+    if spec.with_collections:
+        cols["tags"] = pa.array(
+            [None if t is None else list(t.items()) for t in ev["tags"]],
+            pa.map_(pa.string(), pa.string()),
+        )
+        cols["cdc$deleted_tags"] = pa.array(ev["del_tags"], pa.bool_())
+        cols["cdc$deleted_elements_tags"] = pa.array(
+            ev["del_elements_tags"], pa.list_(pa.string())
+        )
+    tbl = pa.table(cols)
     log_dir = os.path.join(out_dir, "cdc_log")
     import pyarrow.dataset as pads
 

@@ -79,6 +79,13 @@ class TableConfig:
     partition_key: tuple[str, ...] = ("repo",)
     clustering_key: tuple[str, ...] = ("path",)
     value_columns: tuple[str, ...] = ("commit", "lang", "content")
+    # Non-frozen collection columns (reference: UnpreparedUpdateOp,
+    # replicator Main.java:203-276), modeled as map<string,string>:
+    # a SET is map<elem,"">, a LIST is map<timeuuid,elem> whose read
+    # order is the key sort (Main.java:150-161). Log sidecars per column
+    # c: `cdc$deleted_<c>` boolean = whole-collection overwrite,
+    # `cdc$deleted_elements_<c>` array<string> = per-element removals.
+    collection_columns: tuple[str, ...] = ()
 
     @property
     def primary_key(self) -> tuple[str, ...]:
@@ -129,6 +136,18 @@ def ts_col(value_col: str) -> str:
 
 def ttl_col(value_col: str) -> str:
     return TTL_PREFIX + value_col
+
+
+DELETED_ELEMENTS_PREFIX = "cdc$deleted_elements_"
+CTOMB_PREFIX = "_ctomb_"  # collection tombstone (whole-map overwrite)
+
+
+def deleted_elements_col(coll_col: str) -> str:
+    return DELETED_ELEMENTS_PREFIX + coll_col
+
+
+def ctomb_col(coll_col: str) -> str:
+    return CTOMB_PREFIX + coll_col
 
 
 def deleted_col(value_col: str) -> str:

@@ -38,6 +38,8 @@ from ..model import (
     COL_MARKER_TS,
     COL_MARKER_TTL,
     DELETED_PREFIX,
+    ctomb_col,
+    deleted_elements_col,
     OP_PARTITION_DELETE,
     OP_POSTIMAGE,
     OP_ROW_DELETE,
@@ -106,6 +108,93 @@ def _cell_aggs(table: TableConfig, value_cols: list[str]) -> list[Column]:
         )
         aggs.append(F.max(cell).alias(f"__cell_{c}"))
     return aggs
+
+
+def _fold_collections(keyed: DataFrame, pk: list[str],
+                      coll_cols: list[str], postimage: bool) -> DataFrame:
+    """Per-element LWW fold for non-frozen collection columns
+    (reference: UnpreparedUpdateOp, replicator Main.java:203-276),
+    entirely JVM-side: EXPLODE each row's element writes (map entries)
+    and element removals (``cdc$deleted_elements_<c>`` keys, folded as
+    NULL-valued cells), hash-group per (pk, element key) for the winning
+    (ts, value, ttl), then regroup to one ``map<elem, struct<v,ts,ttl>>``
+    per key. A whole-collection overwrite (``cdc$deleted_<c>`` true, or
+    any postimage row) contributes a collection tombstone at ts-1 — the
+    Cassandra/Scylla encoding that lets the same statement's elements
+    survive their own overwrite.
+
+    Returns one row per touched pk: the folded map + ``_ctomb_<c>`` per
+    collection column. Skew posture: the element fold is a hash
+    aggregate on (pk, elem) — map-side partial agg collapses hot keys
+    exactly like the scalar fold."""
+    df = keyed
+    for c in coll_cols:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("map<string,string>"))
+        if deleted_col(c) not in df.columns:
+            df = df.withColumn(deleted_col(c), F.lit(None).cast("boolean"))
+        if deleted_elements_col(c) not in df.columns:
+            df = df.withColumn(
+                deleted_elements_col(c), F.lit(None).cast("array<string>")
+            )
+
+    merged = None
+    for c in coll_cols:
+        empty_map = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+        writes = F.transform(
+            F.map_entries(F.coalesce(F.col(c), empty_map)),
+            lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+        )
+        removes = F.transform(
+            F.coalesce(
+                F.col(deleted_elements_col(c)), F.array().cast("array<string>")
+            ),
+            lambda k: F.struct(
+                k.alias("k"), F.lit(None).cast("string").alias("v")
+            ),
+        )
+        cells = (
+            df.select(
+                *pk, COL_TS, COL_TTL,
+                F.explode(F.concat(writes, removes)).alias("_e"),
+            )
+            .groupBy(*pk, F.col("_e.k").alias("_k"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col(COL_TS).alias("ts"),
+                        F.col("_e.v").alias("v"),
+                        F.col(COL_TTL).alias("ttl"),
+                    )
+                ).alias("_cell")
+            )
+            .groupBy(*pk)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_k"),
+                            F.struct(
+                                F.col("_cell.v").alias("v"),
+                                F.col("_cell.ts").alias("ts"),
+                                F.col("_cell.ttl").alias("ttl"),
+                            ),
+                        )
+                    )
+                ).alias(c)
+            )
+        )
+        overwrite = F.coalesce(F.col(deleted_col(c)), F.lit(False))
+        if postimage:
+            overwrite = overwrite | (F.col(COL_OP) == OP_POSTIMAGE)
+        ct = df.groupBy(*pk).agg(
+            F.max(F.when(overwrite, F.col(COL_TS) - 1)).alias(ctomb_col(c))
+        )
+        part = ct.join(cells, pk, "left")
+        merged = part if merged is None else merged.join(part, pk, "full_outer")
+    return merged
 
 
 def _fold_keyed_pandas(keyed: DataFrame, pk: list[str], value_cols: list[str],
@@ -205,8 +294,11 @@ def fold_batch(
     value_cols = [
         f.name
         for f in df.schema.fields
-        if f.name not in meta_or_pk and not f.name.startswith("cdc$")
+        if f.name not in meta_or_pk
+        and f.name not in table.collection_columns
+        and not f.name.startswith("cdc$")
     ]
+    coll_cols = [c for c in table.collection_columns if c in df.columns]
     for c in value_cols:  # tolerate logs without some deleted-marker cols
         if deleted_col(c) not in df.columns:
             df = df.withColumn(deleted_col(c), F.lit(None).cast("boolean"))
@@ -269,6 +361,14 @@ def fold_batch(
             .withColumn(COL_MARKER_TTL, F.col("__marker.ttl"))
             .drop("__marker", *[f"__cell_{c}" for c in value_cols])
         )
+
+    if coll_cols:
+        colls = _fold_collections(
+            keyed, pk, coll_cols, postimage=in_postimage_full_row
+        )
+        # every key with collection activity also appears in `keyed`
+        # (the activity rides ops 1/2/9), so a left join covers all
+        key_state = key_state.join(colls, pk, "left")
 
     # --- partition tombstones (op 4): tiny per batch, broadcast later ----
     part_tombs = (

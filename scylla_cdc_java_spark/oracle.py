@@ -90,6 +90,13 @@ class OracleState:
     range_tombs: dict = field(default_factory=dict)
     # stream_id -> pending (repo, lo_tuple, inclusive) range start
     pending_range: dict = field(default_factory=dict)
+    # non-frozen collections (UnpreparedUpdateOp, Main.java:203-276):
+    # (repo, ck) -> {col: {elem_key: (value_or_None, ts, ttl)}}
+    coll_cells: dict = field(default_factory=dict)
+    # (repo, ck) -> {col: collection tombstone ts} (whole-map overwrite;
+    # Cassandra/Scylla write it at ts-1 so the same statement's elements
+    # survive it)
+    coll_tombs: dict = field(default_factory=dict)
 
     def _ck(self, path) -> tuple:
         """Normalize a clustering key: scalar (single-column tables) or
@@ -111,6 +118,19 @@ class OracleState:
                 t = max(t, ts)
         return t
 
+    def visible_collection(self, repo: str, ck: tuple, col: str,
+                           as_of_ms=None) -> dict | None:
+        tomb = self.covering_tomb(repo, ck)
+        ctomb = self.coll_tombs.get((repo, ck), {}).get(col, NEG_INF)
+        eff = max(tomb, ctomb)
+        cells = self.coll_cells.get((repo, ck), {}).get(col, {})
+        out = {
+            k: v
+            for k, (v, ts, ttl) in cells.items()
+            if v is not None and ts > eff and not _expired(ts, ttl, as_of_ms)
+        }
+        return out or None
+
     def row_live(self, repo: str, path, as_of_ms=None) -> bool:
         ck = self._ck(path)
         tomb = self.covering_tomb(repo, ck)
@@ -119,6 +139,9 @@ class OracleState:
             return True
         for v, ts, ttl in self.cells.get((repo, ck), {}).values():
             if v is not None and ts > tomb and not _expired(ts, ttl, as_of_ms):
+                return True
+        for col in self.table.collection_columns:
+            if self.visible_collection(repo, ck, col, as_of_ms):
                 return True
         return False
 
@@ -138,6 +161,8 @@ class OracleState:
                     and not _expired(ts, ttl, as_of_ms))
                 else None
             )
+        for c in self.table.collection_columns:
+            out[c] = self.visible_collection(repo, ck, c, as_of_ms)
         return out
 
 
@@ -176,6 +201,26 @@ def apply_event(st: OracleState, ev: dict) -> None:
                 old = cells.get(c)
                 if old is None or ts > old[1]:
                     cells[c] = (val, ts, ttl)
+        # non-frozen collection columns (Main.java:203-276): a whole-map
+        # overwrite is a collection tombstone at ts-1 + element writes at
+        # ts; element adds/removals are per-element LWW cells
+        for c in tbl.collection_columns:
+            overwrite = bool(ev.get("del_" + c) or False)
+            if op == OP_POSTIMAGE:
+                overwrite = True  # postimage binds the full collection
+            ccells = st.coll_cells.setdefault(key, {}).setdefault(c, {})
+            if overwrite:
+                tombs = st.coll_tombs.setdefault(key, {})
+                if ts - 1 > tombs.get(c, NEG_INF):
+                    tombs[c] = ts - 1
+            for k, v in (ev.get(c) or {}).items():
+                old = ccells.get(k)
+                if old is None or ts > old[1]:
+                    ccells[k] = (v, ts, ttl)
+            for k in ev.get("del_elements_" + c) or ():
+                old = ccells.get(k)
+                if old is None or ts > old[1]:
+                    ccells[k] = (None, ts, ttl)
         if op in (OP_ROW_INSERT, OP_POSTIMAGE):
             if ts > st.markers.get(key, (NEG_INF, None))[0]:
                 st.markers[key] = (ts, ttl)
@@ -211,25 +256,31 @@ def replay(events: dict, table: TableConfig = DEFAULT_TABLE) -> OracleState:
     (already globally sorted by (ms, seq))."""
     st = OracleState(table=table)
     n = len(events["ms"])
+    coll_keys = [
+        k
+        for c in table.collection_columns
+        for k in (c, "del_" + c, "del_elements_" + c)
+    ]
     for i in range(n):
-        apply_event(
-            st,
-            {
-                "op": events["op"][i],
-                "ms": events["ms"][i],
-                "seq": events["seq"][i],
-                "ttl": events["ttl"][i],
-                "stream_id": events["stream_id"][i],
-                "repo": events["repo"][i],
-                "path": events["path"][i],
-                "commit": events["commit"][i],
-                "lang": events["lang"][i],
-                "content": events["content"][i],
-                "del_commit": events["del_commit"][i],
-                "del_lang": events["del_lang"][i],
-                "del_content": events["del_content"][i],
-            },
-        )
+        ev = {
+            "op": events["op"][i],
+            "ms": events["ms"][i],
+            "seq": events["seq"][i],
+            "ttl": events["ttl"][i],
+            "stream_id": events["stream_id"][i],
+            "repo": events["repo"][i],
+            "path": events["path"][i],
+            "commit": events["commit"][i],
+            "lang": events["lang"][i],
+            "content": events["content"][i],
+            "del_commit": events["del_commit"][i],
+            "del_lang": events["del_lang"][i],
+            "del_content": events["del_content"][i],
+        }
+        for k in coll_keys:
+            if k in events:
+                ev[k] = events[k][i]
+        apply_event(st, ev)
     return st
 
 
@@ -238,7 +289,9 @@ def final_state(st: OracleState, as_of_ms=None) -> list[dict]:
     BASELINE per-row invariant. ``as_of_ms`` applies TTL expiry as of
     that instant (None = ignore TTLs, the replicator's view when nothing
     has expired yet)."""
-    keys = set(st.cells) | set(st.markers) | set(st.row_tombs)
+    keys = (
+        set(st.cells) | set(st.markers) | set(st.row_tombs) | set(st.coll_cells)
+    )
     out = []
     for repo, ck in sorted(
         k for k in keys if any(v is not None for v in k[1])

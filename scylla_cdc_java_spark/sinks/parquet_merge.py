@@ -57,9 +57,12 @@ from ..model import (
     SEQ_BITS,
     TableConfig,
     DEFAULT_TABLE,
+    ctomb_col,
     ts_col,
     ttl_col,
 )
+
+CELL_MAP_DDL = "map<string,struct<v:string,ts:long,ttl:long>>"
 from ..operators.fold import FoldResult
 from ..operators.tombstones import clustering_in_range
 
@@ -137,6 +140,8 @@ class ParquetMergeSink:
         parts += [f"`{c}` string" for c in value_columns]
         parts += [f"`{ts_col(c)}` long" for c in value_columns]
         parts += [f"`{ttl_col(c)}` long" for c in value_columns]
+        for c in self.table.collection_columns:
+            parts += [f"`{c}` {CELL_MAP_DDL}", f"`{ctomb_col(c)}` long"]
         parts += [
             f"`{COL_MARKER_TS}` long",
             f"`{COL_MARKER_TTL}` long",
@@ -167,10 +172,38 @@ class ParquetMergeSink:
         time — None skips the check entirely, zero overhead)."""
         m = self.manifest()
         vcols = m["value_columns"]
+        coll_cols = list(self.table.collection_columns)
         phys = self.read_physical()
+        empty_cells = F.map_from_arrays(
+            F.array().cast("array<string>"),
+            F.array().cast("array<struct<v:string,ts:long,ttl:long>>"),
+        )
+
+        def _vis_coll(c):
+            # stored cells already beat every tombstone (merge-time
+            # compaction); visibility = non-null value + not expired
+            cond = (
+                (lambda k, cell: cell["v"].isNotNull())
+                if as_of_ms is None
+                else (
+                    lambda k, cell: cell["v"].isNotNull()
+                    & ~(
+                        cell["ttl"].isNotNull()
+                        & (F.shiftright(cell["ts"], SEQ_BITS)
+                           + cell["ttl"] * 1000 <= F.lit(as_of_ms))
+                    )
+                )
+            )
+            plain = F.transform_values(
+                F.map_filter(F.coalesce(F.col(c), empty_cells), cond),
+                lambda k, cell: cell["v"],
+            )
+            return F.when(F.size(plain) > 0, plain)
+
         if as_of_ms is None:
             return phys.where(F.col(COL_LIVE)).select(
-                *self.table.primary_key, *vcols
+                *self.table.primary_key, *vcols,
+                *[_vis_coll(c).alias(c) for c in coll_cols],
             )
 
         def _expired(ts, ttl):
@@ -188,6 +221,10 @@ class ParquetMergeSink:
                 F.col(ts_col(c)), F.col(ttl_col(c))
             )
             phys = phys.withColumn(c, F.when(alive, F.col(c)))
+            live_terms.append(F.col(c).isNotNull())
+            sel.append(c)
+        for c in coll_cols:
+            phys = phys.withColumn(c, _vis_coll(c))
             live_terms.append(F.col(c).isNotNull())
             sel.append(c)
         live = live_terms[0]
@@ -218,10 +255,13 @@ class ParquetMergeSink:
         repo_col = tbl.partition_key[0]
         path_col = tbl.clustering_key[0]
 
-        # ---- schema evolution: union of known and batch value columns --
+        # ---- schema evolution: union of known and batch value columns
+        # (scalars only; collection columns are fixed by TableConfig) ----
         batch_vcols = [
             c for c in fold.key_state.columns
-            if c not in pk and not c.startswith("_")
+            if c not in pk
+            and c not in tbl.collection_columns
+            and not c.startswith("_")
         ]
         value_cols = list(dict.fromkeys(m["value_columns"] + batch_vcols))
 
@@ -235,6 +275,12 @@ class ParquetMergeSink:
                 src = src.withColumn(ttl_col(c), F.lit(None).cast("long"))
         if COL_MARKER_TTL not in src.columns:
             src = src.withColumn(COL_MARKER_TTL, F.lit(None).cast("long"))
+        coll_cols = list(tbl.collection_columns)
+        for c in coll_cols:
+            if c not in src.columns:
+                src = src.withColumn(c, F.lit(None).cast(CELL_MAP_DDL))
+            if ctomb_col(c) not in src.columns:
+                src = src.withColumn(ctomb_col(c), F.lit(None).cast("long"))
         part_tombs = fold.part_tombs.withColumnRenamed("ts", "_pt_ts")
         range_tombs = fold.range_tombs
         persisted = []
@@ -279,6 +325,8 @@ class ParquetMergeSink:
             *[F.col(c).alias(f"tv_{c}") for c in value_cols],
             *[F.col(ts_col(c)).alias(f"tts_{c}") for c in value_cols],
             *[F.col(ttl_col(c)).alias(f"tttl_{c}") for c in value_cols],
+            *[F.col(c).alias(f"tm_{c}") for c in coll_cols],
+            *[F.col(ctomb_col(c)).alias(f"tct_{c}") for c in coll_cols],
             F.col(COL_MARKER_TS).alias("t_marker"),
             F.col(COL_MARKER_TTL).alias("t_mttl"),
             F.col(COL_TOMB_TS).alias("t_tomb"),
@@ -288,6 +336,8 @@ class ParquetMergeSink:
             *[F.col(c).alias(f"sv_{c}") for c in value_cols],
             *[F.col(ts_col(c)).alias(f"sts_{c}") for c in value_cols],
             *[F.col(ttl_col(c)).alias(f"sttl_{c}") for c in value_cols],
+            *[F.col(c).alias(f"sm_{c}") for c in coll_cols],
+            *[F.col(ctomb_col(c)).alias(f"sct_{c}") for c in coll_cols],
             F.col(COL_MARKER_TS).alias("s_marker"),
             F.col(COL_MARKER_TTL).alias("s_mttl"),
             F.col("_row_tomb").alias("s_row_tomb"),
@@ -380,6 +430,49 @@ class ParquetMergeSink:
             )
             live_terms.append(F.col(c).isNotNull())
 
+        # ---- collection columns: per-element LWW map merge + tombstone
+        # compaction, all as expressions (no row multiplication) --------
+        empty_cells = F.map_from_arrays(
+            F.array().cast("array<string>"),
+            F.array().cast("array<struct<v:string,ts:long,ttl:long>>"),
+        )
+        for c in coll_cols:
+            tm = F.coalesce(F.col(f"tm_{c}"), empty_cells)
+            sm = F.coalesce(F.col(f"sm_{c}"), empty_cells)
+            ct = F.greatest(
+                F.coalesce(F.col(f"tct_{c}"), F.lit(NEG_INF)),
+                F.coalesce(F.col(f"sct_{c}"), F.lit(NEG_INF)),
+            )
+            keys_u = F.array_distinct(
+                F.concat(F.map_keys(tm), F.map_keys(sm))
+            )
+            pick = lambda k, tmap=tm, smap=sm: (  # noqa: E731
+                F.when(F.element_at(smap, k).isNull(), F.element_at(tmap, k))
+                .when(F.element_at(tmap, k).isNull(), F.element_at(smap, k))
+                .when(
+                    F.element_at(smap, k)["ts"] > F.element_at(tmap, k)["ts"],
+                    F.element_at(smap, k),
+                )
+                .otherwise(F.element_at(tmap, k))
+            )
+            merged = F.map_from_entries(
+                F.transform(keys_u, lambda k: F.struct(k, pick(k)))
+            )
+            # compaction: cells at ts <= covering tombstone can never win
+            # again (future/late writes compare against the kept
+            # tombstone timestamps, not against dead cells)
+            eff = F.greatest(F.col(COL_TOMB_TS), ct)
+            stored = F.map_filter(merged, lambda k, cell: cell["ts"] > eff)
+            out = out.withColumn(
+                c, F.when(F.size(stored) > 0, stored)
+            ).withColumn(ctomb_col(c), F.when(ct > NEG_INF, ct))
+            live_terms.append(
+                F.exists(
+                    F.map_values(F.coalesce(F.col(c), empty_cells)),
+                    lambda cell: cell["v"].isNotNull(),
+                )
+            )
+
         live = live_terms[0]
         for term in live_terms[1:]:
             live = live | term
@@ -388,6 +481,8 @@ class ParquetMergeSink:
             *value_cols,
             *[ts_col(c) for c in value_cols],
             *[ttl_col(c) for c in value_cols],
+            *coll_cols,
+            *[ctomb_col(c) for c in coll_cols],
             COL_MARKER_TS,
             COL_MARKER_TTL,
             COL_TOMB_TS,

@@ -379,6 +379,14 @@ class Engine:
         if gi >= len(gens):
             return None
         gstart, _ = gens[gi]
+        # generation-age guard (GenerationsFetcher.java:88): a generation
+        # younger than 30 s may still be publishing its stream list —
+        # live tail must not start consuming it yet (replay mode is
+        # exempt: a historical log's generations are complete by
+        # definition, matching the reference where the guard lives in
+        # live generation discovery only)
+        if self.clock() - gstart < self.cfg.min_generation_age_ms:
+            return None
         gen_end_ms = gens[gi + 1][0] if gi + 1 < len(gens) else None
         try:
             w = compute_fetching_window(
