@@ -3,8 +3,10 @@
 Scale posture (100 TB corpus):
 - exact: one hash-groupBy shuffle; map-side partial agg makes duplicate
   hot-hashes harmless.
-- MinHash+LSH: signatures via one Arrow-batched pandas UDF pass (numpy
-  vectorized over each batch), then EXPLODE band buckets and self-join
+- MinHash+LSH: signatures are PURE JVM expressions (crc32 token-window
+  shingles + seeded affine permutations chosen overflow-free, so signed
+  64-bit arithmetic equals the textbook unsigned math) — whole-stage
+  codegen, no Python anywhere; then EXPLODE band buckets and self-join
   on (band, bucket) — the join key is the bucket id, so candidate
   generation is an equi-join Catalyst can shuffle-hash, never an O(n^2)
   cross join. Bucket skew (a degenerate bucket holding thousands of
@@ -12,10 +14,12 @@ Scale posture (100 TB corpus):
   web-dedup pipelines.
 - SimHash: 64-bit signature per doc, grouped by band prefixes.
 - verification: n-gram Jaccard on candidate PAIRS only (tiny relative
-  to the corpus).
+  to the corpus), JVM set ops over the shingle arrays.
 
 All hashing is deterministic (crc32 + seeded affine permutations) so
-results are reproducible across runs/clusters.
+results are reproducible across runs/clusters — and bit-reproducible in
+pure Python (datapipe/golden.py), which is how the driver oracle checks
+the distributed plumbing.
 """
 
 from __future__ import annotations
@@ -25,10 +29,13 @@ import zlib
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 MERSENNE = (1 << 61) - 1
+# a < 2^29 keeps a*crc32 + b < 2^62: no signed-64 overflow, so the JVM
+# expression computes exactly the unsigned universal-hash formula
+PERM_A_MAX = 1 << 29
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
@@ -42,42 +49,90 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
+def _shingle_hashes(text: str, k: int) -> list[int]:
+    """Pure-Python shingle hashing (golden-oracle mirror of
+    ``shingle_array_expr``): crc32 over each k-token window of the
+    whitespace-split text, short texts padded with empty tokens."""
     toks = text.split()
     if len(toks) < k:
         toks = toks + [""] * (k - len(toks))
-    return np.unique(
-        np.fromiter(
-            (zlib.crc32(" ".join(toks[i : i + k]).encode()) for i in range(max(1, len(toks) - k + 1))),
-            dtype=np.uint64,
+    return sorted(
+        {zlib.crc32(" ".join(toks[i:i + k]).encode())
+         for i in range(max(1, len(toks) - k + 1))}
+    )
+
+
+def shingle_array_expr(text_col: Column, k: int) -> Column:
+    """JVM shingle set: distinct crc32 of each k-token window. The
+    tokenization (split on \\s+ over the trimmed text, pad short docs
+    with empty tokens) matches ``_shingle_hashes`` exactly — including
+    the empty-document case, where split('') yields [''] and padding
+    yields the same k-token window as Python's ''.split() == []."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    n = F.size(toks)
+    padded = F.concat(
+        toks, F.array_repeat(F.lit(""), F.greatest(F.lit(k) - n, F.lit(0)))
+    )
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))
+    # window strings via shifted-array zip_with composition: element i of
+    # `ws` becomes "tok[i] tok[i+1] ... tok[i+k-1]". Each zip_with pass is
+    # one O(n) array op — the token array is evaluated O(k) times total,
+    # never per window (a slice/array_join-per-window formulation makes
+    # Catalyst re-evaluate the split inside the lambda and runs ~3x
+    # slower). Positions past m pick up NULL neighbors; the final slice
+    # to m windows discards them before hashing.
+    ws = padded
+    for j in range(1, k):
+        ws = F.zip_with(
+            ws,
+            F.slice(padded, j + 1, F.size(padded)),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return F.array_distinct(
+        F.transform(
+            F.slice(ws, 1, m),
+            lambda s: F.crc32(F.encode(s, "UTF-8")),
         )
     )
 
 
 def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=num_hashes, dtype=np.uint64)
-    b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.uint64)
+    a = rng.integers(1, PERM_A_MAX, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.int64)
     return a, b
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_k: int = 3, seed: int = 42) -> DataFrame:
-    """doc_id -> array<bigint> MinHash signature (Arrow-batched)."""
+    """doc_id -> array<bigint> MinHash signature, entirely JVM-side:
+    sig[i] = min over shingles of (a_i * crc32(shingle) + b_i) mod p.
+    a_i < 2^29 and crc32 < 2^32 keep every intermediate below 2^62, so
+    signed JVM arithmetic equals the unsigned textbook formula (and the
+    pure-Python golden) bit-for-bit."""
     a, b = _perm_params(num_hashes, seed)
-
-    @pandas_udf("array<long>")
-    def _sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = _shingle_hashes(t or "", shingle_k)
-            # (a*h + b) mod p, min over shingles, vectorized (H x S)
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % MERSENNE
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
-
-    return docs.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
+    sh = shingle_array_expr(F.col(text_col), shingle_k)
+    # EXPLODE shingles -> one hash-aggregate with num_hashes plain LONG
+    # mins: fully whole-stage-codegen'd + map-side partial agg (each
+    # shingle row folds into 64 fixed-width buffer slots — the shape
+    # HashAggregateExec supports, unlike array/struct buffers)
+    exploded = docs.select(F.col(id_col), F.explode(sh).alias("_h"))
+    mins = [
+        F.min(
+            F.pmod(F.col("_h") * F.lit(int(ai)) + F.lit(int(bi)),
+                   F.lit(MERSENNE))
+        ).alias(f"_m{i}")
+        for i, (ai, bi) in enumerate(zip(a, b))
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
 
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
@@ -157,23 +212,18 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_k: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage of
-    the dedup pipeline). pairs: (id_a, id_b). Joins text in twice
-    (candidates are few; the joins are broadcast-able), computes exact
-    Jaccard in an Arrow-batched UDF."""
-
-    @pandas_udf("double")
-    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i in range(len(ta)):
-            sa = set(_shingle_hashes(ta.iloc[i] or "", shingle_k).tolist())
-            sb = set(_shingle_hashes(tb.iloc[i] or "", shingle_k).tolist())
-            u = len(sa | sb)
-            out[i] = (len(sa & sb) / u) if u else 0.0
-        return pd.Series(out)
-
-    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
-    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    the dedup pipeline). pairs: (id_a, id_b). Joins the docs' shingle
+    SETS in twice (candidates are few; the joins are broadcast-able)
+    and computes |A∩B| / |A∪B| with JVM array set ops — no Python."""
+    sh = shingle_array_expr(F.col(text_col), shingle_k)
+    a = docs.select(F.col(id_col).alias("id_a"), sh.alias("_sa"))
+    b = docs.select(F.col(id_col).alias("id_b"), sh.alias("_sb"))
+    u = F.size(F.array_union(F.col("_sa"), F.col("_sb")))
+    i = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     return (
         pairs.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", _jac("_ta", "_tb").alias("jaccard"))
+        .select(
+            "id_a", "id_b",
+            F.when(u > 0, i / u).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
     )

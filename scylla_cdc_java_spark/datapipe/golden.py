@@ -96,19 +96,21 @@ def _shingles(text: str, k: int) -> list[int]:
 def golden_minhash_lsh(sf_dir: str, num_hashes: int = 64, bands: int = 16,
                        shingle_k: int = 3, seed: int = 42,
                        max_bucket: int = 64) -> list[tuple[int, int, int]]:
-    """(id_a, id_b, n_shared_bands) candidate pairs."""
-    rng = np.random.default_rng(seed)
-    a = [int(x) for x in rng.integers(1, MERSENNE, size=num_hashes,
-                                      dtype=np.uint64)]
-    b = [int(x) for x in rng.integers(0, MERSENNE, size=num_hashes,
-                                      dtype=np.uint64)]
+    """(id_a, id_b, n_shared_bands) candidate pairs. Permutation params
+    come from the shared seeded constructor (a < 2^29 keeps a*crc32+b
+    below 2^62, so this plain-int formula is what the JVM computes)."""
+    from .dedup import _perm_params  # shared seeded parameter constructor
+
+    pa_, pb_ = _perm_params(num_hashes, seed)
+    a = [int(x) for x in pa_]
+    b = [int(x) for x in pb_]
     rows_per_band = num_hashes // bands
 
     sigs: dict[int, list[int]] = {}
     for did, text in _docs(sf_dir):
         sh = _shingles(text, shingle_k)
         sigs[did] = [
-            min(((ai * s + bi) & M64) % MERSENNE for s in sh)
+            min((ai * s + bi) % MERSENNE for s in sh)
             for ai, bi in zip(a, b)
         ]
 
