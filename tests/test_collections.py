@@ -121,3 +121,107 @@ def test_default_world_unchanged_by_collection_flag():
     assert w1["events"]["content"] == w2["events"]["content"]
     assert w1["events"]["ms"] == w2["events"]["ms"]
     assert all(t is None for t in w1["events"]["tags"])
+
+
+def test_collection_structured_tail_matches_oracle(spark, tmp_root):
+    """The Structured Streaming path (readStream -> foreachBatch) must
+    fold and merge collection columns identically to the batch engine."""
+    from scylla_cdc_java_spark import StructuredTail
+
+    spec = GenSpec(seed=35, n_events=1200, n_repos=20, paths_per_repo=6,
+                   n_generations=1, streams_per_generation=4,
+                   with_collections=True)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/world_colls")
+    tail = StructuredTail(
+        spark, info["log_dir"], f"{tmp_root}/target_colls",
+        table=TAGS_TABLE, max_files_per_trigger=2,
+    )
+    n_batches = tail.run_available_now()
+    assert n_batches >= 1
+    st = replay(world["events"], table=TAGS_TABLE)
+    assert _engine_rows(tail.sink) == _oracle_rows(st)
+
+
+def test_collection_postimage_mode(spark, tmp_root):
+    """Postimage rows bind the FULL collection (overwrite): op-9 apply
+    must reproduce exactly the image's element set."""
+    from scylla_cdc_java_spark.model import EngineConfig as EC
+
+    ms0 = 1_700_000_000_000
+    seq = [0]
+
+    def ev(op, off, tags=None, del_tags=None, content=None):
+        seq[0] += 1
+        return {"op": op, "ms": ms0 + off, "seq": seq[0],
+                "stream_id": b"S" * 16, "repo": "r/x", "path": "p",
+                "commit": None, "lang": None, "content": content,
+                "del_commit": None, "del_lang": None, "del_content": None,
+                "tags": tags, "del_tags": del_tags,
+                "del_elements_tags": None, "ttl": None}
+
+    # delta ops interleaved with postimages; postimage mode consumes
+    # only ops 9 (full row images) + deletes
+    evs = [
+        ev(2, 10, tags={"a": "1"}, content="c1"),
+        ev(9, 11, tags={"a": "1"}, content="c1"),
+        ev(1, 20, tags={"b": "2"}),
+        ev(9, 21, tags={"a": "1", "b": "2"}, content="c1"),
+        ev(1, 30, del_tags=True, tags={"z": "9"}),
+        ev(9, 31, tags={"z": "9"}, content="c1"),
+    ]
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    rows = {
+        "cdc$stream_id": pa.array([e["stream_id"] for e in evs], pa.binary()),
+        "cdc$time": pa.StructArray.from_arrays(
+            [pa.array([e["ms"] for e in evs], pa.int64()),
+             pa.array([e["seq"] for e in evs], pa.int64())],
+            names=["ms", "seq"],
+        ),
+        "cdc$operation": pa.array([e["op"] for e in evs], pa.int8()),
+        "cdc$ttl": pa.array([e["ttl"] for e in evs], pa.int64()),
+        "repo": pa.array([e["repo"] for e in evs]),
+        "path": pa.array([e["path"] for e in evs]),
+        "commit": pa.array([e["commit"] for e in evs], pa.string()),
+        "lang": pa.array([e["lang"] for e in evs], pa.string()),
+        "content": pa.array([e["content"] for e in evs], pa.string()),
+        "cdc$deleted_commit": pa.array([None] * len(evs), pa.bool_()),
+        "cdc$deleted_lang": pa.array([None] * len(evs), pa.bool_()),
+        "cdc$deleted_content": pa.array([None] * len(evs), pa.bool_()),
+        "tags": pa.array(
+            [None if e["tags"] is None else list(e["tags"].items())
+             for e in evs],
+            pa.map_(pa.string(), pa.string()),
+        ),
+        "cdc$deleted_tags": pa.array([e["del_tags"] for e in evs], pa.bool_()),
+        "cdc$deleted_elements_tags": pa.array(
+            [e["del_elements_tags"] for e in evs], pa.list_(pa.string())
+        ),
+        "generation": pa.array([ms0] * len(evs), pa.int64()),
+        "stream_group": pa.array([0] * len(evs), pa.int32()),
+        "time_bucket": pa.array([e["ms"] // 600_000 for e in evs], pa.int64()),
+    }
+    out = f"{tmp_root}/pi_coll"
+    pads.write_dataset(
+        pa.table(rows), f"{out}/cdc_log", format="parquet",
+        partitioning=pads.partitioning(
+            pa.schema([("generation", pa.int64()), ("stream_group", pa.int32()),
+                       ("time_bucket", pa.int64())]), flavor="hive"),
+        existing_data_behavior="delete_matching",
+    )
+    gens = pa.table({"time": pa.array([ms0], pa.int64()),
+                     "streams": pa.array([[b"S" * 16]], pa.list_(pa.binary()))})
+    import pyarrow.parquet as pq
+    pq.write_table(gens, f"{out}/generations.parquet")
+
+    eng = Engine(spark, f"{out}/cdc_log", f"{out}/generations.parquet",
+                 f"{out}/target", table=TAGS_TABLE,
+                 cfg=EC(mode="postimage"))
+    eng.replay()
+    rows_out = eng.sink.read().collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert dict(r["tags"]) == {"z": "9"}
+    assert r["content"] == "c1"
