@@ -75,3 +75,42 @@ def test_pandas_fold_path_matches_oracle(spark, tmp_root):
                  cfg=EngineConfig(extra={"fold_impl": "pandas"}))
     eng.replay()
     assert _engine(eng.sink) == _oracle(world)
+
+
+@pytest.mark.parametrize("seed", [707, 808])
+def test_aggressive_mix_with_collections_and_ttl(spark, tmp_root, seed):
+    """Property sweep over the full semantic surface at once: aggressive
+    delete mix + duplicate deliveries + collection adds/removals/
+    overwrites + TTL'd writes; engine == oracle both ignoring TTL and at
+    an expiry-observing read instant."""
+    from scylla_cdc_java_spark.model import TableConfig
+
+    tbl = TableConfig(collection_columns=("tags",))
+    spec = GenSpec(seed=seed, with_collections=True, ttl_fraction=0.4,
+                   **AGGRESSIVE)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/propc_{seed}")
+    eng = Engine(spark, info["log_dir"], info["generations_path"],
+                 f"{tmp_root}/propc_t_{seed}", table=tbl)
+    eng.replay()
+
+    def engine_rows(as_of=None):
+        return [
+            {"repo": r["repo"], "path": r["path"], "commit": r["commit"],
+             "lang": r["lang"], "content": r["content"],
+             "tags": dict(r["tags"]) if r["tags"] is not None else None}
+            for r in sorted(eng.sink.read(as_of_ms=as_of).collect(),
+                            key=lambda r: (r["repo"], r["path"]))
+        ]
+
+    st = replay(world["events"], table=tbl)
+
+    def oracle_rows(as_of=None):
+        return [
+            {k: v for k, v in r.items() if k != "content_sha256"}
+            for r in final_state(st, as_of_ms=as_of)
+        ]
+
+    assert engine_rows() == oracle_rows()
+    as_of = max(world["events"]["ms"]) + 40_000_000
+    assert engine_rows(as_of) == oracle_rows(as_of)
