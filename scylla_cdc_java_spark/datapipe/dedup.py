@@ -25,12 +25,11 @@ the distributed plumbing.
 from __future__ import annotations
 
 import zlib
+from functools import reduce
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
 
 MERSENNE = (1 << 61) - 1
 # a < 2^29 keeps a*crc32 + b < 2^62: no signed-64 overflow, so the JVM
@@ -175,36 +174,62 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     )
 
 
+def token_hash64_expr(tok: Column) -> Column:
+    """Deterministic 64-bit token hash as pure BIT ops (ANSI-safe — a
+    64-bit multiply mix would raise on overflow under Spark 4's default
+    ANSI mode): high half = crc32(token), low half = crc32(reversed
+    token). Mirrored exactly by golden.py's ``_token_hash64``."""
+    return F.shiftleft(F.crc32(F.encode(tok, "UTF-8")), 32).bitwiseOR(
+        F.crc32(F.encode(F.reverse(tok), "UTF-8"))
+    )
+
+
 def simhash_buckets(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", prefix_bits: int = 16) -> DataFrame:
     """64-bit SimHash per doc + a band prefix for bucketing: docs whose
-    prefix matches are near-dup candidates under Hamming distance."""
-
-    @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            hs = np.fromiter((zlib.crc32(w.encode()) for w in toks), dtype=np.uint64)
-            # widen to 64 bits deterministically
-            hs = hs * np.uint64(0x9E3779B97F4A7C15)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for bit in range(64):
-                if score[bit] > 0:
-                    sig |= np.uint64(1) << np.uint64(bit)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
-
-    # compute the UDF once; derive the bucket from the column (Catalyst
-    # does not dedupe repeated Python UDF calls)
-    return docs.select(
-        id_col, _simhash(F.col(text_col)).alias("simhash")
-    ).withColumn(
-        "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    prefix matches are near-dup candidates under Hamming distance.
+    Entirely JVM-side: EXPLODE tokens -> one hash aggregate with 64
+    plain-long bit sums (votes) + a count, then assemble the signature
+    from the per-bit majorities — whole-stage codegen, map-side partial
+    agg, no Python."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    ex = (
+        docs.where(F.length(F.trim(t)) > 0)
+        .select(F.col(id_col), F.explode(toks).alias("_w"))
+        .select(
+            F.col(id_col), token_hash64_expr(F.col("_w")).alias("_h")
+        )
+    )
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(
+            F.shiftrightunsigned(F.col("_h"), b).bitwiseAND(F.lit(1))
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    voted = ex.groupBy(id_col).agg(*aggs)
+    # bit b set iff majority vote: 2*ones > n; bit 63's power is the
+    # two's-complement sign term (adding it cannot overflow: the partial
+    # sum of lower powers is < 2^63)
+    sig = reduce(
+        lambda acc, b: acc
+        + F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"),
+            F.lit((1 << b) if b < 63 else -(1 << 63)),
+        ).otherwise(F.lit(0)),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    empty = (
+        docs.where(F.length(F.trim(t)) == 0)
+        .select(F.col(id_col), F.lit(0).cast("long").alias("simhash"))
+    )
+    return (
+        voted.select(F.col(id_col), sig.alias("simhash"))
+        .unionByName(empty)
+        .withColumn(
+            "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+        )
     )
 
 

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 MERSENNE = (1 << 61) - 1
-M64 = (1 << 64) - 1
+
 
 
 # ---------------------------------------------------------------------------
@@ -144,15 +144,19 @@ def golden_jaccard(sf_dir: str, pairs: list[tuple[int, int]],
 
 def golden_simhash(sf_dir: str, prefix_bits: int = 16
                    ) -> list[tuple[int, int, int]]:
-    """(doc_id, simhash int64, bucket)."""
-    gold = 0x9E3779B97F4A7C15
+    """(doc_id, simhash int64, bucket). Token hash mirrors
+    dedup.token_hash64_expr: crc32(token) << 32 | crc32(reversed token)
+    — pure bit ops, the ANSI-safe widening the JVM expression uses."""
     out = []
     for did, text in _docs(sf_dir):
         toks = (text or "").split()
         if not toks:
             out.append((did, 0, 0))
             continue
-        hs = [(zlib.crc32(w.encode()) * gold) & M64 for w in toks]
+        hs = [
+            (zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())
+            for w in toks
+        ]
         sig = 0
         for bit in range(64):
             score = sum(1 if (h >> bit) & 1 else -1 for h in hs)
