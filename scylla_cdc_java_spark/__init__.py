@@ -12,6 +12,7 @@ Public surface (mirrors ScyllaCDC.java:17-40 / replicator Main):
 """
 
 from .generator import GenSpec, generate_to_dir, generate_world, write_world
+from .oracle import OracleState, apply_event, final_state
 from .model import DEFAULT_TABLE, EngineConfig, TableConfig
 from .sinks.parquet_merge import ParquetMergeSink
 from .streaming.engine import Engine, ReplayStats
@@ -29,4 +30,7 @@ __all__ = [
     "TableConfig",
     "DEFAULT_TABLE",
     "EngineConfig",
+    "OracleState",
+    "apply_event",
+    "final_state",
 ]

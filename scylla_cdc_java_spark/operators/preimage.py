@@ -22,6 +22,12 @@ keys that actually carry preimage rows (a small slice), Arrow-batched:
 
 Returns a DataFrame (repo, path, ts, col, expected, actual); empty means
 consistent (the reference logs mismatches, Main.java:640-649).
+
+Scope: scalar value columns only — preimage rows for collection columns
+are not compared (the reference's checkPreimage walks the row's column
+definitions the same way but our generator never emits collection
+preimages; extending the seed/replay state to element maps is the
+natural extension point).
 """
 
 from __future__ import annotations

@@ -194,12 +194,25 @@ def run_fleet(log_dir: str, gens: str, n_execs: int, cores_per_exec: int,
                  str(cores_per_exec), rf, go_file, of],
                 env=env,
                 stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
+                stderr=open(os.path.join(workdir, f"stderr_{e}.log"), "w"),
             )
         )
+    t_wait = time.time()
     while not all(os.path.exists(r) for r in ready):
-        if any(p.poll() not in (None, 0) for p in procs):
-            raise RuntimeError("fleet executor died during warm-up")
+        dead = [
+            e for e, (p, rf) in enumerate(zip(procs, ready))
+            if p.poll() is not None and not os.path.exists(rf)
+        ]
+        if dead or time.time() - t_wait > 3600:
+            tails = {
+                e: open(os.path.join(workdir, f"stderr_{e}.log")).read()[-800:]
+                for e in (dead or range(n_execs))
+                if os.path.exists(os.path.join(workdir, f"stderr_{e}.log"))
+            }
+            raise RuntimeError(
+                f"fleet executor(s) {dead or 'timeout'} died/stalled during "
+                f"warm-up; stderr tails: {tails}"
+            )
         time.sleep(0.2)
     s0 = _steal_s()
     with open(go_file, "w") as f:
@@ -221,6 +234,21 @@ def run_fleet(log_dir: str, gens: str, n_execs: int, cores_per_exec: int,
         "events_per_sec": round(events / wall, 1),
         "steal_s": round(steal, 1),
         "per_exec_wall_s": sorted(round(r["wall_s"], 2) for r in results),
+        # per-executor detail: events/s of each executor under the
+        # fleet's (equal) host load — the per-executor rate a same-spec
+        # single-executor host would sustain; max-wall vs these rates
+        # isolates shard-imbalance loss from resource loss
+        "per_exec": sorted(
+            (
+                {
+                    "events": r["events"],
+                    "wall_s": round(r["wall_s"], 2),
+                    "events_per_sec": round(r["events"] / r["wall_s"], 1),
+                }
+                for r in results
+            ),
+            key=lambda d: d["wall_s"],
+        ),
     }
 
 
