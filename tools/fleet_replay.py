@@ -118,10 +118,19 @@ def _child(argv: list[str]) -> None:
     spark.stop()
 
 
-def _group_sizes(log_dir: str) -> dict[int, int]:
-    """Bytes per stream_group across generations — pure filesystem walk,
-    the load statistic for task assignment."""
-    sizes: dict[int, int] = {}
+# Per-file fixed-cost weight for the LPT cost model, in byte-equivalents.
+# Measured on the 64.9M world: shards with equal bytes but more
+# (generation, group, time_bucket) partition files run up to ~10% slower
+# per event at 1 core (more scan tasks, more scheduler/commit overhead),
+# so balancing on bytes alone leaves a wall gap the byte spread doesn't
+# predict. One file ~ this many bytes of extra work.
+FILE_COST_BYTES = int(os.environ.get("FLEET_FILE_COST_BYTES", "4000000"))
+
+
+def _group_sizes(log_dir: str) -> dict[int, tuple[int, int]]:
+    """(bytes, n_files) per stream_group across generations — pure
+    filesystem walk, the load statistics for task assignment."""
+    sizes: dict[int, tuple[int, int]] = {}
     for gdir in os.listdir(log_dir):
         if not gdir.startswith("generation="):
             continue
@@ -129,33 +138,35 @@ def _group_sizes(log_dir: str) -> dict[int, int]:
             if not sgdir.startswith("stream_group="):
                 continue
             g = int(sgdir.rsplit("=", 1)[1])
-            total = 0
+            total = nf = 0
             base = os.path.join(log_dir, gdir, sgdir)
             for root, _d, files in os.walk(base):
-                total += sum(
-                    os.path.getsize(os.path.join(root, f)) for f in files
-                )
-            sizes[g] = sizes.get(g, 0) + total
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+                    nf += 1
+            b, c = sizes.get(g, (0, 0))
+            sizes[g] = (b + total, c + nf)
     return sizes
 
 
 def assign_groups(log_dir: str, n_execs: int) -> list[list[str]]:
     """LPT (longest-processing-time) bin packing of stream groups onto
-    executors by on-disk bytes — balances zipf-skewed shards far better
-    than the modulo split (the reference's token-ring split is
-    ring-balanced, not load-balanced; we can do better because the log
-    already exists).
+    executors by a cost model of on-disk bytes + per-file fixed cost —
+    balances zipf-skewed shards far better than the modulo split (the
+    reference's token-ring split is ring-balanced, not load-balanced; we
+    can do better because the log already exists).
 
     A group larger than the per-executor fair share (a hot partition
     key: with zipf 1.3 the hottest repo alone is ~25% of the log) is
     SPLIT into k clustering-key salt shards ``"g/k/i"`` — the Engine's
     group_salt mechanism keeps the shards key-disjoint. Tokens: ``"g"``
     whole group, ``"g/k/i"`` salt residue i of k."""
-    sizes = _group_sizes(log_dir)
-    total = sum(sizes.values())
+    stats = _group_sizes(log_dir)
+    cost = {g: b + c * FILE_COST_BYTES for g, (b, c) in stats.items()}
+    total = sum(cost.values())
     fair = total / n_execs
     items: list[tuple[str, float]] = []
-    for g, sz in sizes.items():
+    for g, sz in cost.items():
         if sz > 1.05 * fair and n_execs > 1:
             k = min(n_execs, max(2, round(sz / (0.5 * fair))))
             items += [(f"{g}/{k}/{i}", sz / k) for i in range(k)]
