@@ -14,7 +14,7 @@ Public surface (mirrors ScyllaCDC.java:17-40 / replicator Main):
 from .generator import GenSpec, generate_to_dir, generate_world, write_world
 from .oracle import OracleState, apply_event, final_state
 from .model import DEFAULT_TABLE, EngineConfig, TableConfig
-from .sinks.parquet_merge import ParquetMergeSink
+from .sinks.parquet_merge import ParquetMergeSink, list_view
 from .streaming.engine import Engine, ReplayStats
 from .streaming.stream_tail import StructuredTail
 
@@ -27,6 +27,7 @@ __all__ = [
     "generate_world",
     "write_world",
     "ParquetMergeSink",
+    "list_view",
     "TableConfig",
     "DEFAULT_TABLE",
     "EngineConfig",

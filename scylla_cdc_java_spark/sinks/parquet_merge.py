@@ -62,10 +62,10 @@ from ..model import (
     ttl_col,
 )
 
-CELL_MAP_DDL = "map<string,struct<v:string,ts:long,ttl:long>>"
 from ..operators.fold import FoldResult
 from ..operators.tombstones import clustering_in_range
 
+CELL_MAP_DDL = "map<string,struct<v:string,ts:long,ttl:long>>"
 NEG_INF = -1
 BUCKET_COL = "__bucket"
 
@@ -559,3 +559,21 @@ class ParquetMergeSink:
             if not os.listdir(vdir):
                 os.rmdir(vdir)
         return removed
+
+
+def list_view(map_col) -> "F.Column":
+    """Read a non-frozen LIST stored as a collection map.
+
+    Scylla encodes non-frozen lists as ``map<timeuuid, element>`` and the
+    reference reconstructs list order by sorting on the timeuuid key
+    (replicator Main.java:150-161; per-index writes via
+    ``scylla_timeuuid_list_index``, ListSetIdxTimeUUIDAssignment.java:24-27).
+    Our collection columns use the same model with sortable string keys,
+    so the list view is simply the values in key order::
+
+        sink.read().select(list_view(F.col("paras")).alias("paras"))
+    """
+    return F.transform(
+        F.array_sort(F.map_keys(map_col)),
+        lambda k: F.element_at(map_col, k),
+    )
