@@ -193,3 +193,47 @@ def test_windowed_multi_ck_carryover(spark, tmp_root):
     assert ("c1", "s0") not in keys  # killed by the cross-window range
     assert ("c1", "s1") in keys  # resurrected after the range ts
     assert ("c2", "s0") in keys  # outside the prefix bound
+
+
+def test_clustering_in_range_expr_matches_oracle_comparator(spark):
+    """Bulk cross-check of the JVM prefix-range expression against the
+    oracle's pure-Python prefix comparator over randomized rows/bounds
+    (full-length and prefix bounds, all inclusivity combinations)."""
+    import random
+
+    from scylla_cdc_java_spark.operators.tombstones import clustering_in_range
+    from scylla_cdc_java_spark.oracle import _prefix_cmp
+
+    rng = random.Random(77)
+    vals = ["a", "b", "c", "d", "e"]
+    cases = []
+    for _ in range(600):
+        row = (rng.choice(vals), rng.choice(vals))
+        lo_len = rng.randint(1, 2)
+        hi_len = rng.randint(1, 2)
+        lo = [rng.choice(vals) for _ in range(lo_len)] + [None] * (2 - lo_len)
+        hi = [rng.choice(vals) for _ in range(hi_len)] + [None] * (2 - hi_len)
+        cases.append((row[0], row[1], lo, rng.random() < 0.5,
+                      hi, rng.random() < 0.5))
+
+    df = spark.createDataFrame(
+        cases,
+        "c1 string, c2 string, lo array<string>, lo_incl boolean, "
+        "hi array<string>, hi_incl boolean",
+    )
+    got = [
+        r["in_range"]
+        for r in df.select(
+            clustering_in_range(
+                [F.col("c1"), F.col("c2")],
+                F.struct("lo", "lo_incl", "hi", "hi_incl"),
+            ).alias("in_range")
+        ).collect()
+    ]
+    for (c1, c2, lo, lo_incl, hi, hi_incl), g in zip(cases, got):
+        clo = _prefix_cmp((c1, c2), tuple(lo))
+        chi = _prefix_cmp((c1, c2), tuple(hi))
+        want = (clo > 0 or (clo == 0 and lo_incl)) and (
+            chi < 0 or (chi == 0 and hi_incl)
+        )
+        assert g == want, (c1, c2, lo, lo_incl, hi, hi_incl, g, want)
