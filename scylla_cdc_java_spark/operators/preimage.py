@@ -23,14 +23,18 @@ keys that actually carry preimage rows (a small slice), Arrow-batched:
 Returns a DataFrame (repo, path, ts, col, expected, actual); empty means
 consistent (the reference logs mismatches, Main.java:640-649).
 
-Scope: scalar value columns only — preimage rows for collection columns
-are not compared (the reference's checkPreimage walks the row's column
-definitions the same way but our generator never emits collection
-preimages; extending the seed/replay state to element maps is the
-natural extension point).
+Scope: scalar value columns AND non-frozen collection columns — the
+reference's checkPreimage walks every column definition of the row
+(Main.java:625-639), collections included. Collection state (element
+maps, whole-map overwrite tombstones, per-element removals) crosses the
+SQL→pandas boundary as JSON strings (tiny: preimage keys only) and is
+replayed element-wise; the asserted map is compared as a canonical
+sorted-key dict, reported as JSON on mismatch.
 """
 
 from __future__ import annotations
+
+import json
 
 import pandas as pd
 
@@ -47,12 +51,23 @@ from ..model import (
     OP_ROW_INSERT,
     OP_ROW_UPDATE,
     TableConfig,
+    ctomb_col,
     deleted_col,
+    deleted_elements_col,
     ts_col,
 )
 
 OP_SEED = -1
 NEG_INF = -1
+
+
+def _canon_map(d: dict | None) -> str | None:
+    """Canonical JSON of a visible map; None for empty/absent (a row
+    with no live elements asserts NULL, matching the oracle's
+    visible_collection)."""
+    if not d:
+        return None
+    return json.dumps(d, sort_keys=True, separators=(",", ":"))
 
 
 def check_preimages(
@@ -64,11 +79,27 @@ def check_preimages(
     """batch_df: normalized log slice (has cdc$ts). target_physical: the
     sink's stored rows (previous batches folded). range_tombs: closed
     ranges of this batch (from fold_batch), for before-state accuracy."""
+    union, check, out_schema, pk = _build_union(
+        batch_df, target_physical, table, range_tombs
+    )
+    return union.groupBy(*pk).applyInPandas(check, schema=out_schema)
+
+
+def _build_union(
+    batch_df: DataFrame,
+    target_physical: DataFrame,
+    table: TableConfig,
+    range_tombs: DataFrame | None = None,
+):
+    """SQL half of the preimage check, exposed for white-box tests:
+    returns (union_df, per-key pandas check fn, output schema, pk)."""
     pk = list(table.primary_key)
     repo_col = table.partition_key[0]
-    path_col = table.clustering_key[0]
     value_cols = [
         c for c in table.value_columns if c in batch_df.columns
+    ]
+    coll_cols = [
+        c for c in table.collection_columns if c in batch_df.columns
     ]
 
     pre = batch_df.where(F.col(COL_OP) == OP_PREIMAGE)
@@ -85,10 +116,27 @@ def check_preimages(
                 cols += [F.col(c), F.coalesce(F.col(deleted_col(c)), F.lit(False)).alias("d_" + c)]
             else:
                 cols += [F.lit(None).cast("string").alias(c), F.lit(False).alias("d_" + c)]
-            cols += [F.lit(None).cast("long").alias("sts_" + c)]
+            cols += [F.lit(None).cast("string").alias("sts_" + c)]
+        for c in coll_cols:
+            if with_values:
+                cols += [
+                    F.to_json(F.col(c)).alias("m_" + c),
+                    F.coalesce(F.col(deleted_col(c)), F.lit(False)).alias("dm_" + c),
+                    F.to_json(F.col(deleted_elements_col(c))).alias("de_" + c),
+                ]
+            else:
+                cols += [
+                    F.lit(None).cast("string").alias("m_" + c),
+                    F.lit(False).alias("dm_" + c),
+                    F.lit(None).cast("string").alias("de_" + c),
+                ]
+            cols += [
+                F.lit(None).cast("string").alias("sm_" + c),
+                F.lit(None).cast("string").alias("sct_" + c),
+            ]
         cols += [
-            F.lit(None).cast("long").alias("seed_marker"),
-            F.lit(None).cast("long").alias("seed_tomb"),
+            F.lit(None).cast("string").alias("seed_marker"),
+            F.lit(None).cast("string").alias("seed_tomb"),
         ]
         return df.select(*cols)
 
@@ -99,15 +147,17 @@ def check_preimages(
     evs = ev_shape(evs, F.col(COL_OP), F.col(COL_TS), with_values=True)
 
     # partition deletes -> pseudo row-deletes for every preimage key of
-    # that repo (broadcast: op-4 rows are rare)
-    # every op-4 event individually: a preimage between two partition
-    # deletes of the same repo must see only the earlier one
+    # that partition (broadcast: op-4 rows are rare); every op-4 event
+    # individually: a preimage between two partition deletes of the same
+    # key must see only the earlier one. Joined on ALL partition columns
+    # (composite keys, Main.java:176-198).
+    part_key = list(table.partition_key)
     part = (
         batch_df.where(F.col(COL_OP) == OP_PARTITION_DELETE)
-        .select(repo_col, F.col(COL_TS).alias("_pts"))
+        .select(*part_key, F.col(COL_TS).alias("_pts"))
         .distinct()
     )
-    pseudo_part = keys.join(F.broadcast(part), repo_col, "inner")
+    pseudo_part = keys.join(F.broadcast(part), part_key, "inner")
     pseudo_part = ev_shape(
         pseudo_part, F.lit(OP_ROW_DELETE), F.col("_pts"), with_values=False
     )
@@ -117,13 +167,17 @@ def check_preimages(
         from .tombstones import clustering_in_range
 
         rt = range_tombs.select(
-            F.col(repo_col).alias("_r_repo"),
+            *[F.col(c).alias(f"_r_{c}") for c in part_key],
             F.struct("lo", "lo_incl", "hi", "hi_incl").alias("_rng"),
             F.col("ts").alias("_rts"),
         )
+        cond = [F.col(c) == F.col(f"_r_{c}") for c in part_key]
+        on = cond[0]
+        for c in cond[1:]:
+            on = on & c
         pseudo_rt = keys.join(
             F.broadcast(rt),
-            (F.col(repo_col) == F.col("_r_repo"))
+            on
             & clustering_in_range(
                 [F.col(c) for c in table.clustering_key], F.col("_rng")
             ),
@@ -145,17 +199,34 @@ def check_preimages(
             seed_cols += [
                 F.col(c),
                 F.lit(False).alias("d_" + c),
-                F.col(ts_col(c)).alias("sts_" + c),
+                F.col(ts_col(c)).cast("string").alias("sts_" + c),
             ]
         else:
             seed_cols += [
                 F.lit(None).cast("string").alias(c),
                 F.lit(False).alias("d_" + c),
-                F.lit(None).cast("long").alias("sts_" + c),
+                F.lit(None).cast("string").alias("sts_" + c),
+            ]
+    for c in coll_cols:
+        seed_cols += [
+            F.lit(None).cast("string").alias("m_" + c),
+            F.lit(False).alias("dm_" + c),
+            F.lit(None).cast("string").alias("de_" + c),
+        ]
+        if c in target_physical.columns:
+            # stored element cells {k: {v, ts, ttl}} + collection tombstone
+            seed_cols += [
+                F.to_json(F.col(c)).alias("sm_" + c),
+                F.col(ctomb_col(c)).cast("string").alias("sct_" + c),
+            ]
+        else:
+            seed_cols += [
+                F.lit(None).cast("string").alias("sm_" + c),
+                F.lit(None).cast("string").alias("sct_" + c),
             ]
     seed_cols += [
-        F.col(COL_MARKER_TS).alias("seed_marker"),
-        F.col(COL_TOMB_TS).alias("seed_tomb"),
+        F.col(COL_MARKER_TS).cast("string").alias("seed_marker"),
+        F.col(COL_TOMB_TS).cast("string").alias("seed_tomb"),
     ]
     parts.append(seed_src.select(*seed_cols))
 
@@ -168,35 +239,79 @@ def check_preimages(
         + ", ts long, col string, expected string, actual string"
     )
     vcols = list(value_cols)
+    ccols = list(coll_cols)
+
+    def _isnull(x) -> bool:
+        return x is None or (isinstance(x, float) and pd.isna(x))
+
+    def _as_int(x):
+        """Nullable int64s transit the Arrow boundary as STRINGS: pandas
+        would coerce a nullable long column to float64, which cannot
+        represent full-precision CDC timestamps (~2^61) — a collection
+        tombstone at ts-1 would round onto its own statement's cells."""
+        return None if _isnull(x) else int(x)
 
     def _check(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts", kind="mergesort")
         cells: dict[str, tuple] = {}
+        ccells: dict[str, dict] = {c: {} for c in ccols}  # c -> {k: (v, ts)}
+        ctombs: dict[str, int] = {c: NEG_INF for c in ccols}
         marker = NEG_INF
         tomb = NEG_INF
         mismatches = []
-        repo = pdf.iloc[0]["repo"] if "repo" in pdf.columns else None
         for row in pdf.itertuples(index=False):
             r = row._asdict() if hasattr(row, "_asdict") else dict(zip(pdf.columns, row))
             op, ts = int(r["op"]), int(r["ts"])
             if op == OP_SEED:
                 for c in vcols:
-                    sts = r["sts_" + c]
-                    if sts is not None and not pd.isna(sts):
-                        cells[c] = (r[c] if not pd.isna(r[c]) else None, int(sts))
-                if r["seed_marker"] is not None and not pd.isna(r["seed_marker"]):
-                    marker = max(marker, int(r["seed_marker"]))
-                if r["seed_tomb"] is not None and not pd.isna(r["seed_tomb"]):
-                    tomb = max(tomb, int(r["seed_tomb"]))
+                    sts = _as_int(r["sts_" + c])
+                    if sts is not None:
+                        cells[c] = (r[c] if not pd.isna(r[c]) else None, sts)
+                for c in ccols:
+                    sm = r["sm_" + c]
+                    if not _isnull(sm):
+                        for k, cell in json.loads(sm).items():
+                            ccells[c][k] = (cell.get("v"), int(cell["ts"]))
+                    sct = _as_int(r["sct_" + c])
+                    if sct is not None:
+                        ctombs[c] = max(ctombs[c], sct)
+                sm_marker = _as_int(r["seed_marker"])
+                if sm_marker is not None:
+                    marker = max(marker, sm_marker)
+                sm_tomb = _as_int(r["seed_tomb"])
+                if sm_tomb is not None:
+                    tomb = max(tomb, sm_tomb)
             elif op == OP_PREIMAGE:
                 # visible state now vs asserted state
-                live = marker > tomb or any(
-                    v is not None and cts > tomb for v, cts in cells.values()
+                vis_maps = {}
+                for c in ccols:
+                    eff = max(tomb, ctombs[c])
+                    vis_maps[c] = {
+                        k: v
+                        for k, (v, cts) in ccells[c].items()
+                        if v is not None and cts > eff
+                    }
+                live = (
+                    marker > tomb
+                    or any(v is not None and cts > tomb for v, cts in cells.values())
+                    or any(vis_maps[c] for c in ccols)
                 )
                 for c in vcols:
                     v, cts = cells.get(c, (None, NEG_INF))
                     actual = v if (live and v is not None and cts > tomb) else None
                     expected = r[c] if not pd.isna(r[c]) else None
+                    if actual != expected:
+                        mismatches.append(
+                            tuple(r[k] for k in pk) + (ts, c, expected, actual)
+                        )
+                for c in ccols:
+                    actual = _canon_map(vis_maps[c] if live else None)
+                    asserted = r["m_" + c]
+                    expected = (
+                        _canon_map(json.loads(asserted))
+                        if not _isnull(asserted)
+                        else None
+                    )
                     if actual != expected:
                         mismatches.append(
                             tuple(r[k] for k in pk) + (ts, c, expected, actual)
@@ -211,10 +326,27 @@ def check_preimages(
                         old = cells.get(c)
                         if old is None or ts > old[1]:
                             cells[c] = (None if bool(r["d_" + c]) else v, ts)
+                for c in ccols:
+                    if bool(r["dm_" + c]):
+                        # whole-map overwrite: collection tombstone at
+                        # ts-1 (the same statement's elements survive)
+                        ctombs[c] = max(ctombs[c], ts - 1)
+                    m = r["m_" + c]
+                    if not _isnull(m):
+                        for k, v in json.loads(m).items():
+                            old = ccells[c].get(k)
+                            if old is None or ts > old[1]:
+                                ccells[c][k] = (v, ts)
+                    de = r["de_" + c]
+                    if not _isnull(de):
+                        for k in json.loads(de):
+                            old = ccells[c].get(k)
+                            if old is None or ts > old[1]:
+                                ccells[c][k] = (None, ts)
                 if op == OP_ROW_INSERT:
                     marker = max(marker, ts)
         return pd.DataFrame(
             mismatches, columns=pk + ["ts", "col", "expected", "actual"]
         )
 
-    return union.groupBy(*pk).applyInPandas(_check, schema=out_schema)
+    return union, _check, out_schema, pk

@@ -105,6 +105,15 @@ class OracleState:
             return tuple(path)
         return (path,)
 
+    def pk_of(self, ev: dict):
+        """Partition-key value of an event: scalar for single-column
+        keys (the default table), tuple for COMPOSITE partition keys
+        (the reference binds every partition column, Main.java:176-198)."""
+        pk = self.table.partition_key
+        if len(pk) == 1:
+            return ev[pk[0]]
+        return tuple(ev.get(c) for c in pk)
+
     def covering_tomb(self, repo: str, path) -> int:
         ck = self._ck(path)
         t = self.row_tombs.get((repo, ck), NEG_INF)
@@ -150,7 +159,12 @@ class OracleState:
         if not self.row_live(repo, ck, as_of_ms):
             return None
         tomb = self.covering_tomb(repo, ck)
-        out = {"repo": repo}
+        pk_cols = self.table.partition_key
+        out = (
+            {pk_cols[0]: repo}
+            if len(pk_cols) == 1
+            else dict(zip(pk_cols, repo))
+        )
         out.update(dict(zip(self.table.clustering_key, ck)))
         cells = self.cells.get((repo, ck), {})
         for c in self.table.value_columns:
@@ -173,8 +187,8 @@ def apply_event(st: OracleState, ev: dict) -> None:
     if ts is None:
         ts = pack_time(ev["ms"], ev["seq"])
     op = ev["op"]
-    repo = ev["repo"]
     tbl = st.table
+    repo = st.pk_of(ev)  # scalar, or tuple for composite partition keys
     if len(tbl.clustering_key) == 1:
         ck = st._ck(ev.get(tbl.clustering_key[0]))
     else:

@@ -135,6 +135,7 @@ class Engine:
             table,
             num_buckets=self.cfg.num_buckets,
             salt_buckets=self.cfg.salt_buckets,
+            compact_threshold=self.cfg.compact_threshold,
         )
 
     # ------------------------------------------------------------------
@@ -239,7 +240,7 @@ class Engine:
             except NotReady:
                 if self.clock is None:
                     raise  # cannot happen in replay mode
-                time.sleep(self.cfg.poll_idle_s)
+                time.sleep(self.cfg.poll_idle_s * self.cfg.sleep_scale)
                 continue
 
             # One window = one bounded slice (the reference's fetch window
@@ -315,7 +316,7 @@ class Engine:
                 ],
                 "done": bool(w.last_window and is_last_gen),
             }
-            mstats = self.sink.merge(fold, new_ckpt, touched_src=slice_df)
+            mstats = self.sink.merge(fold, new_ckpt)
             if self.cfg.extra.get("persist_slice", False):
                 slice_df.unpersist()
 
@@ -352,7 +353,7 @@ class Engine:
             before = self.sink.checkpoint()
             s = self._tail_step()
             if s is None:
-                time.sleep(self.cfg.poll_idle_s)
+                time.sleep(self.cfg.poll_idle_s * self.cfg.sleep_scale)
                 continue
             stats.windows += 1
             stats.rows += s["rows"]
@@ -361,7 +362,9 @@ class Engine:
                 if s["cropped"]
                 else (self.cfg.poll_busy_s if s["rows"] else self.cfg.poll_idle_s)
             )
-            time.sleep(min(delay, 0.05))  # scaled for tests
+            # real 1/10/30 s tiers by default (Worker.java:28-30,130);
+            # tests shrink sleep_scale instead of the tiers themselves
+            time.sleep(delay * self.cfg.sleep_scale)
         stats.wall_s = time.time() - t0
         return stats
 
@@ -410,7 +413,6 @@ class Engine:
             }
             for r in fold.pending_range_df.collect()
         ]
-        rows = slice_df.count()
         new_ckpt = {
             "gen_index": gi + 1 if w.last_window else gi,
             "last_ts": w.end_ts,
@@ -418,5 +420,8 @@ class Engine:
             "pending_ranges": [] if w.last_window else new_pending,
             "done": bool(w.last_window and gi + 1 >= len(gens)),
         }
-        self.sink.merge(fold, new_ckpt, touched_src=slice_df)
-        return {"rows": rows, "cropped": w.cropped}
+        # rows-applied metric comes from the delta segment's parquet
+        # footers (driver-side) — round 2 ran an extra full-scan
+        # count() job per tail window just for the backoff decision
+        mstats = self.sink.merge(fold, new_ckpt)
+        return {"rows": mstats.get("delta_rows", 0), "cropped": w.cropped}

@@ -75,6 +75,7 @@ class StructuredTail:
             table,
             num_buckets=self.cfg.num_buckets,
             salt_buckets=self.cfg.salt_buckets,
+            compact_threshold=self.cfg.compact_threshold,
         )
         self.batches_applied = 0
 
@@ -144,7 +145,7 @@ class StructuredTail:
             "batches": ckpt.get("batches", 0) + 1,
             "last_stream_batch_id": batch_id,
         }
-        self.sink.merge(fold, new_ckpt, touched_src=batch_df)
+        self.sink.merge(fold, new_ckpt)
         self.batches_applied += 1
 
     # ------------------------------------------------------------------

@@ -225,3 +225,58 @@ def test_collection_postimage_mode(spark, tmp_root):
     r = rows_out[0]
     assert dict(r["tags"]) == {"z": "9"}
     assert r["content"] == "c1"
+
+
+def test_collection_preimage_zero_mismatches(spark, tmp_root):
+    """W8 × W7: preimage rows assert collection state too (the
+    reference's checkPreimage walks every column of the row,
+    Main.java:625-639). A consistent world must verify clean across
+    windows — including tags."""
+    from scylla_cdc_java_spark.images import with_images
+
+    spec = GenSpec(seed=33, n_events=1200, n_repos=15, paths_per_repo=6,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=90_000, with_collections=True)
+    world = with_images(generate_world(spec), preimage_fraction=0.5,
+                        postimage=False, table=TAGS_TABLE)
+    # teeth: some preimage rows must actually assert a non-empty map
+    assert any(
+        op == 0 and tags
+        for op, tags in zip(world["events"]["op"], world["events"]["tags"])
+    )
+    info = write_world(world, f"{tmp_root}/world_coll_pre")
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"],
+        f"{tmp_root}/target_coll_pre", table=TAGS_TABLE,
+        cfg=EngineConfig(mode="preimage", window_length_limit_ms=30_000),
+    )
+    stats = eng.replay()
+    assert stats.windows > 1  # state must cross the batch boundary
+    assert stats.preimage_mismatches == 0
+
+
+def test_collection_preimage_detects_corruption(spark, tmp_root):
+    """Corrupt sampled op-0 tag assertions: each corrupted map must be
+    reported as a `tags` mismatch."""
+    from scylla_cdc_java_spark.images import with_images
+
+    spec = GenSpec(seed=34, n_events=800, n_repos=12, paths_per_repo=6,
+                   n_generations=1, streams_per_generation=4,
+                   gen_span_ms=60_000, with_collections=True)
+    world = with_images(generate_world(spec), preimage_fraction=0.5,
+                        postimage=False, table=TAGS_TABLE)
+    ev = world["events"]
+    corrupted = 0
+    for i, op in enumerate(ev["op"]):
+        if op == 0 and corrupted < 10:
+            ev["tags"][i] = {"__bogus__": "corrupt"}  # never generated
+            corrupted += 1
+    assert corrupted
+    info = write_world(world, f"{tmp_root}/world_coll_pre_bad")
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"],
+        f"{tmp_root}/target_coll_pre_bad", table=TAGS_TABLE,
+        cfg=EngineConfig(mode="preimage", window_length_limit_ms=60_000),
+    )
+    stats = eng.replay()
+    assert stats.preimage_mismatches >= corrupted

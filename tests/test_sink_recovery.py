@@ -65,25 +65,38 @@ def test_crash_mid_replay_resumes_exactly_once(spark, tmp_root):
     assert _rows(eng2.sink) == _oracle(world)
 
 
-def test_vacuum_removes_orphans_keeps_state(spark, tmp_root):
-    """Superseded bucket versions accumulate across windows; vacuum()
-    must delete them without changing the visible table."""
+def test_compact_then_vacuum_keeps_state(spark, tmp_root):
+    """Delta segments accumulate across windows (merge-on-read);
+    compact() must collapse every bucket to one base segment and
+    vacuum() must delete the superseded deltas — without changing the
+    visible table."""
     import os
 
     world = generate_world(SPEC)
     info = write_world(world, f"{tmp_root}/vac_world")
     eng = Engine(spark, info["log_dir"], info["generations_path"],
                  f"{tmp_root}/vac_target",
-                 cfg=EngineConfig(window_length_limit_ms=30_000))
+                 cfg=EngineConfig(window_length_limit_ms=30_000,
+                                  compact_threshold=1000))  # no auto-compact
     stats = eng.replay()
     assert stats.windows > 3
     before = _rows(eng.sink)
+    m = eng.sink.manifest()
+    assert any(len(s) > 1 for s in m["buckets"].values())  # real deltas
 
     def bucket_dirs(root):
         out = []
         for v in os.listdir(os.path.join(root, "data")):
             out += os.listdir(os.path.join(root, "data", v))
         return out
+
+    cstats = eng.sink.compact()
+    assert cstats["compacted"]
+    m2 = eng.sink.manifest()
+    assert all(len(s) == 1 for s in m2["buckets"].values())
+    # tombstones are retained post-compaction (oracle semantics: they
+    # keep shadowing late lower-ts writes)
+    assert m2["tombs"] == m["tombs"]
 
     n_before = len(bucket_dirs(eng.sink.path))
     removed = eng.sink.vacuum()
@@ -115,3 +128,64 @@ def test_stream_batch_redelivery_is_noop(spark, tmp_root):
     assert tail.sink.manifest()["version"] == v1
     assert tail.sink.checkpoint() == ckpt1
     assert _rows(tail.sink) == state1 == _oracle(world)
+
+
+def test_auto_compaction_bounds_segments(spark, tmp_root):
+    """merge() piggybacks compact() once a bucket reaches
+    compact_threshold segments: segment counts stay bounded across an
+    arbitrarily long replay and the final state still matches the
+    oracle (write cost per window is O(window) + O(bucket)/threshold,
+    never O(table) — the round-3 merge-on-read contract)."""
+    world = generate_world(SPEC)
+    info = write_world(world, f"{tmp_root}/ac_world")
+    eng = Engine(spark, info["log_dir"], info["generations_path"],
+                 f"{tmp_root}/ac_target",
+                 cfg=EngineConfig(window_length_limit_ms=30_000,
+                                  compact_threshold=3))
+    stats = eng.replay()
+    assert stats.windows >= 4  # enough windows to trip the threshold
+    m = eng.sink.manifest()
+    assert all(len(s) <= 3 for s in m["buckets"].values())
+    assert any(len(s) == 1 for s in m["buckets"].values())  # compacted
+    assert _rows(eng.sink) == _oracle(world)
+
+
+def test_tail_backoff_tiers_are_real(spark, tmp_root, monkeypatch):
+    """T5 poll backoff: tail() must sleep the reference's 1/10/30 s
+    tiers (Worker.java:28-30) scaled ONLY by EngineConfig.sleep_scale —
+    round 2 hard-capped every sleep at 50 ms in production code."""
+    import types
+
+    import scylla_cdc_java_spark.streaming.engine as eng_mod
+    from scylla_cdc_java_spark.model import EngineConfig as EC
+
+    spec = GenSpec(seed=77, n_events=400, n_repos=10, paths_per_repo=5,
+                   n_generations=1, streams_per_generation=4,
+                   gen_span_ms=120_000)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/tail_bo_world")
+    clk = {"t": spec.gen0_start_ms + 40_000}
+
+    def clock():
+        clk["t"] += 20_000
+        return clk["t"]
+
+    cfg = EC(window_length_limit_ms=30_000, sleep_scale=1e-3)
+    eng = Engine(spark, info["log_dir"], info["generations_path"],
+                 f"{tmp_root}/tail_bo_target", cfg=cfg, clock=clock)
+    slept: list[float] = []
+    import time as _time
+    shim = types.SimpleNamespace(time=_time.time, sleep=slept.append)
+    monkeypatch.setattr(eng_mod, "time", shim)
+    stats = eng.tail(max_windows=8)
+    assert stats.rows > 0 and stats.windows > 0
+    tiers = {
+        round(cfg.poll_cropped_s * cfg.sleep_scale, 9),
+        round(cfg.poll_busy_s * cfg.sleep_scale, 9),
+        round(cfg.poll_idle_s * cfg.sleep_scale, 9),
+    }
+    assert slept and {round(s, 9) for s in slept} <= tiers
+    # a consuming (non-cropped) window must sleep the BUSY tier, not a cap
+    assert round(cfg.poll_busy_s * cfg.sleep_scale, 9) in {
+        round(s, 9) for s in slept
+    }
