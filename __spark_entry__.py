@@ -50,7 +50,7 @@ ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
 
 # bump when engine semantics change so entry() never reuses a target
 # materialized by an older engine version across rounds
-ENTRY_TARGET_VERSION = "r2final"
+ENTRY_TARGET_VERSION = "r3mor"  # merge-on-read delta sink
 
 
 # ---------------------------------------------------------------------------
@@ -482,6 +482,107 @@ def q_cdc_replay_collections(spark, sf_dir):
     )
 
 
+def _entry_post_spec():
+    """Postimage world for the op-9 contract entry (Main.java:577-598)."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=44, n_events=3000,
+                               ttl_fraction=0.0)
+
+
+def q_cdc_replay_postimage(spark, sf_dir):
+    """W9 op-9 POSTIMAGE mode through the full engine: the world is
+    augmented with oracle-tracked full-row images; mode='postimage'
+    folds ONLY op 9 + deletes (ops 1/2 ignored, replicator
+    Main.java:577-598). Digest vs the Python oracle replaying the same
+    filtered op set."""
+    from scylla_cdc_java_spark import Engine, EngineConfig
+    from scylla_cdc_java_spark.datapipe.golden import FIELD_SEP, NULL_SENTINEL
+    from scylla_cdc_java_spark.generator import generate_world, write_world
+    from scylla_cdc_java_spark.images import with_images
+
+    spec = _entry_post_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    world_dir = os.path.join(base, f"postworld_{spec.cache_key()}_v1")
+    done = os.path.join(world_dir, "_DONE")
+    if not os.path.exists(done):
+        world = with_images(generate_world(spec), preimage_fraction=0.0,
+                            postimage=True)
+        write_world(world, world_dir)
+        open(done, "w").close()
+    info = {
+        "log_dir": os.path.join(world_dir, "cdc_log"),
+        "generations_path": os.path.join(world_dir, "generations.parquet"),
+    }
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"],
+        os.path.join(
+            base, f"target_post_{spec.cache_key()}_{ENTRY_TARGET_VERSION}"
+        ),
+        cfg=EngineConfig(mode="postimage", window_length_limit_ms=60_000),
+    )
+    eng.replay()
+    df = eng.sink.read()
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.col("repo"),
+        F.col("path"),
+        *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
+          for c in ("commit", "lang", "content")],
+    )
+    return df.select(line.alias("_l")).agg(
+        F.count("*").alias("n_rows"),
+        F.sha2(
+            F.concat_ws("\n", F.array_sort(F.collect_list("_l"))), 256
+        ).alias("state_sha"),
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the two SCALE ANN paths (LSH buckets, IVF probes)
+    against the exact brute-force top-k — the quality trade-off of the
+    approximate paths as a first-class measured quantity, not just
+    their determinism. One row per (method, query)."""
+    k = 5
+    bf = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    out = None
+    for method, fn in (("ivf", q_ann_ivf), ("lsh", q_ann_lsh)):
+        ap = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            ap.join(bf, ["query_id", "neighbor_id"], "inner")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        m = (
+            bf.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))
+                 ).alias("recall_at_5"),
+            )
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing: binary -> binary via mapInPandas; pinned
+    byte-for-byte through crc32 of the resampled blob (golden-VALUES
+    oracle, like multimodal_frames)."""
+    from scylla_cdc_java_spark.datapipe.multimodal import (
+        resize_stub,
+        to_binary_assets,
+    )
+
+    rs = resize_stub(to_binary_assets(_t(spark, sf_dir, "documents")))
+    return rs.select(
+        "doc_id", "width", "height", "n_bytes",
+        F.crc32("asset").alias("asset_crc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -511,6 +612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "cdc_replay": q_cdc_replay,
         "cdc_replay_collections": q_cdc_replay_collections,
+        "cdc_replay_postimage": q_cdc_replay_postimage,
+        "ann_recall": q_ann_recall,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -609,6 +713,68 @@ def _golden_oracles() -> dict[str, str]:
         out["cdc_replay_collections"] = (
             f"select cast({nc} as bigint) as n_rows, '{shac}' as state_sha"
         )
+        npo, shapo = G.golden_cdc_digest_postimage(_entry_post_spec())
+        out["cdc_replay_postimage"] = (
+            f"select cast({npo} as bigint) as n_rows, '{shapo}' as state_sha"
+        )
+        out["multimodal_resize"] = _values_sql(
+            G.golden_resize(sf),
+            ["doc_id", "width", "height", "n_bytes", "asset_crc"],
+            ["bigint", "int", "int", "int", "bigint"],
+        )
+        # ann_recall oracle: DuckDB computes exact brute-force top-5 in
+        # SQL; the approximate sides are the independent Python goldens
+        lsh_vals = _values_sql(
+            G.golden_ann_lsh(sf),
+            ["query_id", "neighbor_id", "rank", "cosine"],
+            ["bigint", "bigint", "int", "double"],
+        )
+        ivf_vals = _values_sql(
+            G.golden_ann_ivf(sf),
+            ["query_id", "neighbor_id", "rank", "cosine"],
+            ["bigint", "bigint", "int", "double"],
+        )
+        out["ann_recall"] = f"""
+            with bf as (
+                with q as (
+                    select vec_id as query_id, embedding::DOUBLE[] as qv
+                    from embeddings where vec_id < 10
+                ), scored as (
+                    select q.query_id, e.vec_id as neighbor_id,
+                           list_cosine_similarity(q.qv, e.embedding::DOUBLE[])
+                             as cos
+                    from q cross join embeddings e
+                    where e.vec_id <> q.query_id
+                )
+                select query_id, neighbor_id from (
+                    select *, row_number() over (
+                        partition by query_id order by cos desc, neighbor_id
+                    ) as rank from scored
+                ) where rank <= 5
+            ),
+            lsh as ({lsh_vals}),
+            ivf as ({ivf_vals}),
+            qs as (select distinct query_id from bf),
+            lh as (
+                select l.query_id, count(*) as n from lsh l
+                join bf on bf.query_id = l.query_id
+                       and bf.neighbor_id = l.neighbor_id
+                group by 1
+            ),
+            ih as (
+                select i.query_id, count(*) as n from ivf i
+                join bf on bf.query_id = i.query_id
+                       and bf.neighbor_id = i.neighbor_id
+                group by 1
+            )
+            select 'ivf' as method, qs.query_id,
+                   coalesce(ih.n, 0) / 5.0 as recall_at_5
+            from qs left join ih using (query_id)
+            union all
+            select 'lsh' as method, qs.query_id,
+                   coalesce(lh.n, 0) / 5.0 as recall_at_5
+            from qs left join lh using (query_id)
+        """
         _GOLDEN_CACHE = out
     except Exception:
         # a failed golden must degrade to rows-only, never crash the gate

@@ -337,3 +337,62 @@ def golden_cdc_digest(spec, table=None) -> tuple[int, str]:
     )
     sha = hashlib.sha256("\n".join(lines).encode()).hexdigest()
     return len(rows), sha
+
+
+def golden_cdc_digest_postimage(spec, table=None) -> tuple[int, str]:
+    """Postimage-mode digest: augment the world with op-9 POSTIMAGE rows
+    (sequential oracle-tracked full-row images), then replay through the
+    pure Python oracle EXACTLY what the engine's postimage mode consumes
+    — images + deletes, never ops 1/2 (replicator Main.java:577-598)."""
+    from ..generator import generate_world
+    from ..images import filter_ops, with_images
+    from ..model import (
+        DEFAULT_TABLE,
+        OP_PARTITION_DELETE,
+        OP_POSTIMAGE,
+        OP_RANGE_DELETE_END_EXCLUSIVE,
+        OP_RANGE_DELETE_END_INCLUSIVE,
+        OP_RANGE_DELETE_START_EXCLUSIVE,
+        OP_RANGE_DELETE_START_INCLUSIVE,
+        OP_ROW_DELETE,
+    )
+    from ..oracle import final_state, replay
+
+    table = table or DEFAULT_TABLE
+    world = with_images(
+        generate_world(spec), preimage_fraction=0.0, postimage=True,
+        table=table,
+    )
+    keep = {
+        OP_POSTIMAGE, OP_ROW_DELETE, OP_PARTITION_DELETE,
+        OP_RANGE_DELETE_START_INCLUSIVE, OP_RANGE_DELETE_START_EXCLUSIVE,
+        OP_RANGE_DELETE_END_INCLUSIVE, OP_RANGE_DELETE_END_EXCLUSIVE,
+    }
+    rows = final_state(replay(filter_ops(world["events"], keep), table=table))
+    for r in rows:
+        for c in table.collection_columns:
+            r[c] = (
+                ",".join(f"{k}={v}" for k, v in sorted(r[c].items()))
+                if r[c] else None
+            )
+    lines = state_lines(
+        rows, value_cols=table.value_columns + table.collection_columns
+    )
+    sha = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return len(rows), sha
+
+
+def golden_resize(sf_dir: str, target_w: int = 224, target_h: int = 224
+                  ) -> list[tuple[int, int, int, int, int]]:
+    """(doc_id, width, height, n_bytes, asset_crc) after the stub
+    resample (deterministic byte subsample to target_w*target_h/64
+    bytes) — pins the mapInPandas binary-in/binary-out plumbing
+    byte-for-byte via the crc."""
+    n_out = max(1, target_w * target_h // 64)
+    out = []
+    for did, text in _docs(sf_dir):
+        b = (text or "").encode("utf-8")
+        step = max(1, len(b) // n_out)
+        rb = b[::step][:n_out]
+        out.append((did, target_w, target_h, len(rb), zlib.crc32(rb)))
+    return sorted(out)

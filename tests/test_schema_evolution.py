@@ -96,3 +96,61 @@ def test_add_and_drop_column_across_batches(spark, tmp_root):
     assert sink.manifest()["value_columns"] == [
         "commit", "lang", "content", "size_bytes"
     ]
+
+
+def test_collection_column_added_mid_log(spark, tmp_root):
+    """A non-frozen collection column appearing mid-log (the reference's
+    per-row column enumeration adapts to ANY new column, Main.java:141):
+    batches before the evolution merged without `tags`; a sink restarted
+    with the evolved TableConfig reads the old segments with NULL tags
+    and merges new element writes on top. The manifest carries
+    collection_columns like value_columns (schema registry)."""
+    # phase 1: world has no tags column at all
+    t1 = TableConfig()
+    sink1 = ParquetMergeSink(spark, f"{tmp_root}/cevo_target", t1, num_buckets=4)
+    b1 = _mk_batch(
+        spark,
+        [{"op": OP_ROW_INSERT, "ms": 10, "seq": 0, "repo": "o/r1",
+          "path": "a.py", "commit": "c1", "lang": "py", "content": "x1"}],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    sink1.merge(fold_batch(b1, t1), {"step": 1})
+    assert sink1.manifest()["collection_columns"] == []
+
+    # phase 2: restart with the evolved schema; log now carries tags
+    t2 = TableConfig(collection_columns=("tags",))
+    sink2 = ParquetMergeSink(spark, f"{tmp_root}/cevo_target", t2, num_buckets=4)
+    data = [
+        (SID, {"ms": 20, "seq": 0}, OP_ROW_UPDATE, "o/r1", "a.py",
+         {"k1": "v1"}, None, None),
+        (SID, {"ms": 21, "seq": 1}, OP_ROW_INSERT, "o/r1", "b.py",
+         {"k2": "v2"}, None, None),
+    ]
+    ddl = (
+        "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+        "`cdc$operation` tinyint, repo string, path string, "
+        "tags map<string,string>, `cdc$deleted_tags` boolean, "
+        "`cdc$deleted_elements_tags` array<string>"
+    )
+    b2 = normalize_log(spark.createDataFrame(data, schema=ddl))
+    sink2.merge(fold_batch(b2, t2), {"step": 2})
+    assert sink2.manifest()["collection_columns"] == ["tags"]
+
+    rows = {r["path"]: r.asDict() for r in sink2.read().collect()}
+    assert dict(rows["a.py"]["tags"]) == {"k1": "v1"}
+    assert dict(rows["b.py"]["tags"]) == {"k2": "v2"}
+    # pre-evolution cells survive next to the new column
+    assert rows["a.py"]["commit"] == "c1" and rows["a.py"]["content"] == "x1"
+
+    # phase 3: compaction folds old+new segments under the evolved schema
+    sink2.compact()
+    rows = {r["path"]: r.asDict() for r in sink2.read().collect()}
+    assert dict(rows["a.py"]["tags"]) == {"k1": "v1"}
+    assert rows["a.py"]["lang"] == "py"
+
+    # a sink restarted with the OLD config still sees the evolved schema
+    # (manifest wins over TableConfig — the registry property)
+    sink3 = ParquetMergeSink(spark, f"{tmp_root}/cevo_target", t1, num_buckets=4)
+    assert sink3.manifest()["collection_columns"] == ["tags"]
+    rows = {r["path"]: r.asDict() for r in sink3.read().collect()}
+    assert dict(rows["b.py"]["tags"]) == {"k2": "v2"}
