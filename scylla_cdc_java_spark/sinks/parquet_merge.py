@@ -33,10 +33,11 @@ Layout::
 
     target/
       MANIFEST.json   -> {"version", "buckets": {bid: [seg_relpath, ...]},
+                          "tomb_segs": {bid: [seg_relpath, ...]},
                           "value_columns", "collection_columns",
-                          "tombs": {"part": [...], "range": [...]},
                           "checkpoint"}
-      data/v<version>/__bucket=<bid>/*.parquet
+      data/v<version>/rows/__bucket=<bid>/*.parquet
+      data/v<version>/tombs/__bucket=<bid>/*.parquet
 
 Buckets are ``pmod(xxhash64(partition key...), num_buckets)`` — all
 partition-key columns participate (composite keys hash and join on every
@@ -46,14 +47,18 @@ affect exactly one bucket. At 100 TB you would raise ``num_buckets``
 into the thousands and plug a real Iceberg catalog behind this same
 interface (delta segments map 1:1 onto Iceberg MoR delete/data files).
 
-Tombstones (partition + range deletes) are **retained in the manifest**,
-consolidated (max ts per partition key; deduplicated ranges), and
-re-applied by timestamp on every read — exactly the semantics of the
-row-at-a-time Python oracle (oracle.py ``covering_tomb``) and of Scylla
-itself, where a tombstone shadows *by write timestamp*, not by arrival
-order. They are broadcast-joined (few, by construction: one entry per
-deleted partition key, ranges deduplicated). Row tombstones ride the
-delta rows themselves (``_ts_tomb``).
+Tombstones (partition + range deletes) are written as **per-bucket
+parquet sidecar segments** by the same Spark job topology as the row
+deltas (no driver collect — at 10^10 events a window can carry 10^5+
+deletes, far beyond "inline in a JSON manifest"). Readers broadcast-join
+the accumulated sidecars of the buckets they touch and re-apply them by
+timestamp — the semantics of the row-at-a-time Python oracle
+(oracle.py ``covering_tomb``) and of Scylla itself, where a tombstone
+shadows *by write timestamp*, not by arrival order. ``compact()`` folds
+a bucket's sidecar tombstones into its rows and clears them, so the
+broadcast stays bounded by ``compact_threshold`` windows of deletes
+(the lake analogue of tombstone GC after compaction). Row tombstones
+ride the delta rows themselves (``_ts_tomb``).
 
 The resolution itself is cell-level LWW + tombstone shadowing: stored
 rows carry per-cell write timestamps (``_ts_<col>``), an INSERT
@@ -152,9 +157,9 @@ class ParquetMergeSink:
             return {
                 "version": 0,
                 "buckets": {},
+                "tomb_segs": {},
                 "value_columns": list(self.table.value_columns),
                 "collection_columns": list(self.table.collection_columns),
-                "tombs": {"part": [], "range": []},
                 "checkpoint": None,
             }
         with open(self._manifest_path) as f:
@@ -166,7 +171,7 @@ class ParquetMergeSink:
             for b, p in m["buckets"].items()
         }
         m.setdefault("collection_columns", list(self.table.collection_columns))
-        m.setdefault("tombs", {"part": [], "range": []})
+        m.setdefault("tomb_segs", {})
         return m
 
     def checkpoint(self) -> dict | None:
@@ -302,41 +307,62 @@ class ParquetMergeSink:
         )
         return out.select(*self._phys_cols(vcols, ccols))
 
-    def _tomb_dfs(self, m: dict):
-        """Manifest tombstone ledger -> (part_df|None, ranges_df|None),
-        both broadcast-sized by construction (consolidated: one row per
-        deleted partition key / distinct range)."""
+    def _tomb_schema_ddl(self) -> str:
+        parts = [f"`{c}` string" for c in self.table.partition_key]
+        parts += [
+            "`kind` tinyint",  # 0 = partition tombstone, 1 = range
+            "`lo` array<string>", "`lo_incl` boolean",
+            "`hi` array<string>", "`hi_incl` boolean",
+            "`ts` long",
+        ]
+        return ", ".join(parts)
+
+    def _read_tomb_segments(self, m: dict,
+                            buckets: list[str] | None = None) -> DataFrame:
+        sel = m["tomb_segs"]
+        if buckets is not None:
+            want = set(buckets)
+            sel = {b: p for b, p in sel.items() if b in want}
+        dirs = [
+            d for segs in sel.values() for p in segs
+            if os.path.exists(d := os.path.join(self.path, p))
+        ]
+        ddl = self._tomb_schema_ddl()
+        if not dirs:
+            return self.spark.createDataFrame([], schema=ddl)
+        return self.spark.read.schema(ddl).parquet(*dirs)
+
+    def _tomb_dfs(self, m: dict, buckets: list[str] | None = None):
+        """Accumulated tombstone sidecars of the selected buckets ->
+        (part_df|None, ranges_df|None). Broadcast-bounded: compact()
+        folds + clears sidecars, so at most ~compact_threshold windows
+        of deletes are live per bucket."""
         part_key = list(self.table.partition_key)
-        spark = self.spark
-        pt = m["tombs"]["part"]
-        rt = m["tombs"]["range"]
-        part_df = None
-        if pt:
-            ddl = ", ".join(f"`_pt_{c}` string" for c in part_key) + ", `_pt_ts` long"
-            part_df = spark.createDataFrame([tuple(r) for r in pt], schema=ddl)
-        range_df = None
-        if rt:
-            nck = len(self.table.clustering_key)
-            npk = len(part_key)
-            rows = []
-            for r in rt:
-                pkv = tuple(r[:npk])
-                lo, lo_incl, hi, hi_incl, ts = r[npk:]
-                rows.append(pkv + (lo, bool(lo_incl), hi, bool(hi_incl), int(ts)))
-            ddl = (
-                ", ".join(f"`_rt_{c}` string" for c in part_key)
-                + ", `lo` array<string>, `lo_incl` boolean"
-                + ", `hi` array<string>, `hi_incl` boolean, `ts` long"
-            )
-            raw = spark.createDataFrame(rows, schema=ddl)
-            range_df = raw.groupBy(*[f"_rt_{c}" for c in part_key]).agg(
+        sel = m["tomb_segs"]
+        if buckets is not None:
+            want = set(buckets)
+            sel = {b: p for b, p in sel.items() if b in want}
+        if not any(sel.values()):
+            return None, None
+        tombs = self._read_tomb_segments(m, buckets)
+        part_df = (
+            tombs.where(F.col("kind") == 0)
+            .groupBy(*[F.col(c).alias(f"_pt_{c}") for c in part_key])
+            .agg(F.max("ts").alias("_pt_ts"))
+        )
+        range_df = (
+            tombs.where(F.col("kind") == 1)
+            .groupBy(*[F.col(c).alias(f"_rt_{c}") for c in part_key])
+            .agg(
                 F.collect_list(
                     F.struct("lo", "lo_incl", "hi", "hi_incl", "ts")
                 ).alias("_ranges")
             )
+        )
         return part_df, range_df
 
-    def _apply_tombstones(self, df: DataFrame, m: dict) -> DataFrame:
+    def _apply_tombstones(self, df: DataFrame, m: dict,
+                          buckets: list[str] | None = None) -> DataFrame:
         """Shadow cells/markers by the effective covering tombstone
         (row ∨ partition ∨ range, by timestamp — oracle.covering_tomb
         semantics) and recompute row liveness. Pure expressions plus at
@@ -344,7 +370,7 @@ class ParquetMergeSink:
         tbl = self.table
         part_key = list(tbl.partition_key)
         vcols, ccols = m["value_columns"], m["collection_columns"]
-        part_df, range_df = self._tomb_dfs(m)
+        part_df, range_df = self._tomb_dfs(m, buckets)
 
         if part_df is not None:
             cond = [F.col(c) == F.col(f"_pt_{c}") for c in part_key]
@@ -429,6 +455,17 @@ class ParquetMergeSink:
         if buckets is not None:
             want = {str(b) for b in buckets}
             sel = {b: p for b, p in sel.items() if b in want}
+        # fast path: every selected bucket is one fully-resolved base
+        # segment and carries no tombstone sidecar -> raw scan (the
+        # stored _live flag and cells are already final; read() gets
+        # parquet filter pushdown back)
+        def _is_base(path: str) -> bool:
+            return os.path.basename(os.path.dirname(path)) == "base"
+
+        if all(
+            len(segs) == 1 and _is_base(segs[0]) for segs in sel.values()
+        ) and not any(m["tomb_segs"].get(b) for b in sel):
+            return self._read_segments(m, [segs[0] for segs in sel.values()])
         multi = [p for segs in sel.values() if len(segs) > 1 for p in segs]
         single = [segs[0] for segs in sel.values() if len(segs) == 1]
         parts = []
@@ -436,12 +473,13 @@ class ParquetMergeSink:
             parts.append(self._aggregate_segments(self._read_segments(m, multi), m))
         if single:
             parts.append(self._read_segments(m, single))
+        bsel = list(sel) if buckets is not None else None
         if not parts:
-            return self._read_segments(m, [])
+            return self._apply_tombstones(self._read_segments(m, []), m, bsel)
         phys = parts[0]
         for p in parts[1:]:
             phys = phys.unionByName(p)
-        return self._apply_tombstones(phys, m)
+        return self._apply_tombstones(phys, m, bsel)
 
     def read(self, as_of_ms: int | None = None) -> DataFrame:
         """Public view: live rows, logical columns only. ``as_of_ms``
@@ -509,57 +547,6 @@ class ParquetMergeSink:
     # ------------------------------------------------------------------
     # write path: append one delta segment + tombstone ledger entries
     # ------------------------------------------------------------------
-    def _collect_tombs(self, fold: FoldResult) -> tuple[list, list]:
-        """One small Spark job: ops-4-8 output of the fold, collected to
-        the driver (broadcast-sized by design — the reference holds the
-        same state in worker memory, Main.java:348-366,491-531)."""
-        part_key = list(self.table.partition_key)
-        p = fold.part_tombs.select(
-            F.lit("p").alias("_t"),
-            F.to_json(F.struct(*part_key, "ts")).alias("_j"),
-        )
-        r = fold.range_tombs.select(
-            F.lit("r").alias("_t"),
-            F.to_json(
-                F.struct(*part_key, "lo", "lo_incl", "hi", "hi_incl", "ts")
-            ).alias("_j"),
-        )
-        part_rows, range_rows = [], []
-        for row in p.unionAll(r).collect():
-            d = json.loads(row["_j"])
-            pkv = [d[c] for c in part_key]
-            if row["_t"] == "p":
-                part_rows.append(pkv + [int(d["ts"])])
-            else:
-                range_rows.append(
-                    pkv + [d.get("lo"), bool(d["lo_incl"]), d.get("hi"),
-                           bool(d["hi_incl"]), int(d["ts"])]
-                )
-        return part_rows, range_rows
-
-    @staticmethod
-    def _merge_tombs(tombs: dict, part_rows: list, range_rows: list,
-                     npk: int) -> dict:
-        part = {tuple(r[:-1]): r[-1] for r in tombs["part"]}
-        for r in part_rows:
-            k = tuple(r[:-1])
-            if r[-1] > part.get(k, NEG_INF):
-                part[k] = r[-1]
-        def _rkey(r):
-            lo = tuple(r[npk]) if r[npk] is not None else None
-            hi = tuple(r[npk + 2]) if r[npk + 2] is not None else None
-            return tuple(r[:npk]) + (lo, r[npk + 1], hi, r[npk + 3], r[npk + 4])
-        seen = {_rkey(r) for r in tombs["range"]}
-        ranges = [list(r) for r in tombs["range"]]
-        for r in range_rows:
-            if _rkey(r) not in seen:
-                seen.add(_rkey(r))
-                ranges.append(r)
-        return {
-            "part": [list(k) + [v] for k, v in sorted(part.items())],
-            "range": ranges,
-        }
-
     def merge(self, fold: FoldResult, checkpoint: dict | None = None,
               touched_src: DataFrame | None = None) -> dict:
         """Apply one folded batch by APPENDING a delta segment; returns
@@ -610,8 +597,8 @@ class ParquetMergeSink:
 
         # ---- write the delta segment: one file per touched bucket ------
         version = m["version"] + 1
-        rel_out = os.path.join("data", f"v{version}")
-        staging = os.path.join(self.path, rel_out)
+        rel_rows = os.path.join("data", f"v{version}", "rows")
+        staging = os.path.join(self.path, rel_rows)
         (
             delta.withColumn(BUCKET_COL, self._bucket_expr())
             .repartition(F.col(BUCKET_COL))
@@ -621,28 +608,59 @@ class ParquetMergeSink:
         )
         _mark("delta write")
 
-        # ---- tombstone ledger (ops 4-8): one tiny collect job ----------
-        part_rows, range_rows = self._collect_tombs(fold)
-        _mark("tombstone collect")
+        # ---- tombstone sidecar (ops 4-8): per-bucket parquet, same
+        # Spark topology as the rows — NEVER collected to the driver
+        # (a 10^10-event window can carry 10^5+ deletes) ----------------
+        part_key = list(tbl.partition_key)
+        null_b = F.lit(None).cast("array<string>")
+        tombs = fold.part_tombs.select(
+            *part_key,
+            F.lit(0).cast("tinyint").alias("kind"),
+            null_b.alias("lo"), F.lit(None).cast("boolean").alias("lo_incl"),
+            null_b.alias("hi"), F.lit(None).cast("boolean").alias("hi_incl"),
+            F.col("ts"),
+        ).unionByName(
+            fold.range_tombs.select(
+                *part_key,
+                F.lit(1).cast("tinyint").alias("kind"),
+                "lo", "lo_incl", "hi", "hi_incl", "ts",
+            )
+        )
+        rel_tombs = os.path.join("data", f"v{version}", "tombs")
+        tomb_staging = os.path.join(self.path, rel_tombs)
+        (
+            tombs.withColumn(BUCKET_COL, self._bucket_expr())
+            .repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(tomb_staging)
+        )
+        _mark("tombstone write")
+
+        def _list_segs(root: str, rel: str, into: dict) -> list[str]:
+            found = []
+            if os.path.exists(root):
+                for d in sorted(os.listdir(root)):
+                    if d.startswith(BUCKET_COL + "="):
+                        b = d.split("=", 1)[1]
+                        found.append(b)
+                        into.setdefault(b, []).append(os.path.join(rel, d))
+            return found
 
         new_buckets = {b: list(segs) for b, segs in m["buckets"].items()}
-        touched, delta_rows = [], 0
-        if os.path.exists(staging):
-            for d in sorted(os.listdir(staging)):
-                if not d.startswith(BUCKET_COL + "="):
-                    continue
-                b = d.split("=", 1)[1]
-                touched.append(int(b))
-                new_buckets.setdefault(b, []).append(os.path.join(rel_out, d))
-                delta_rows += _parquet_rows(os.path.join(staging, d))
+        new_tomb_segs = {b: list(segs) for b, segs in m["tomb_segs"].items()}
+        touched = [int(b) for b in _list_segs(staging, rel_rows, new_buckets)]
+        tomb_touched = _list_segs(tomb_staging, rel_tombs, new_tomb_segs)
+        delta_rows = sum(
+            _parquet_rows(os.path.join(self.path, new_buckets[str(b)][-1]))
+            for b in touched
+        )
         new_manifest = {
             "version": version,
             "buckets": new_buckets,
+            "tomb_segs": new_tomb_segs,
             "value_columns": value_cols,
             "collection_columns": coll_cols,
-            "tombs": self._merge_tombs(
-                m["tombs"], part_rows, range_rows, len(tbl.partition_key)
-            ),
             "checkpoint": checkpoint,
         }
         self._commit(new_manifest)
@@ -654,10 +672,16 @@ class ParquetMergeSink:
         }
 
         # ---- piggybacked compaction of over-threshold buckets ----------
-        over = [
-            int(b) for b, segs in new_buckets.items()
-            if len(segs) >= self.compact_threshold
-        ]
+        over = sorted(
+            {
+                int(b) for b, segs in new_buckets.items()
+                if len(segs) >= self.compact_threshold
+            }
+            | {
+                int(b) for b, segs in new_tomb_segs.items()
+                if len(segs) >= self.compact_threshold
+            }
+        )
         if over:
             cstats = self.compact(over)
             stats["compacted_buckets"] = over
@@ -668,27 +692,36 @@ class ParquetMergeSink:
 
     # ------------------------------------------------------------------
     def compact(self, buckets: list[int] | None = None) -> dict:
-        """Collapse each selected bucket (default: every multi-segment
-        bucket) to ONE resolved base segment. Tombstones are folded into
-        the rows AND retained in the ledger (they must keep shadowing
-        late lower-timestamp writes — oracle semantics; the ledger stays
-        consolidated so it never grows past one entry per deleted key).
-        Atomic: same manifest-swap commit; crash loses only the
-        compaction work, never table state."""
+        """Collapse each selected bucket (default: every bucket with
+        multiple row segments or any tombstone sidecar) to ONE resolved
+        base segment, folding its accumulated sidecar tombstones into
+        the rows and CLEARING them — the lake analogue of tombstone GC
+        at compaction. Within the window between a tombstone's arrival
+        and its compaction it shadows by timestamp (oracle semantics);
+        after folding, its effect lives in each covered row's
+        ``_ts_tomb``. Atomic: same manifest-swap commit; crash loses
+        only the compaction work, never table state."""
         t0 = time.time()
         m = self.manifest()
-        sel = {
-            b: segs for b, segs in m["buckets"].items()
-            if (buckets is None and len(segs) > 1)
-            or (buckets is not None and int(b) in set(buckets))
-        }
-        if not sel:
+        if buckets is None:
+            csel = {
+                b for b, segs in m["buckets"].items() if len(segs) > 1
+            } | {b for b, segs in m["tomb_segs"].items() if segs}
+        else:
+            csel = {str(b) for b in buckets}
+        sel = {b: segs for b, segs in m["buckets"].items() if b in csel}
+        sel_tombs = {b: segs for b, segs in m["tomb_segs"].items() if b in csel}
+        if not sel and not any(sel_tombs.values()):
             return {"compacted": [], "compact_s": 0.0}
-        resolved = self.read_physical([int(b) for b in sel])
+        resolved = self.read_physical([int(b) for b in csel])
         version = m["version"] + 1
-        rel_out = os.path.join("data", f"v{version}")
+        # base/ (vs rows/) marks a segment as FULLY RESOLVED: single-base
+        # buckets with no tombstone sidecars are read raw, restoring the
+        # copy-on-write read plan (stored _live filter pushdown, no
+        # aggregate, no joins)
+        rel_out = os.path.join("data", f"v{version}", "base")
         staging = os.path.join(self.path, rel_out)
-        n_parts = max(len(sel) * min(self.salt_buckets, 4), 1)
+        n_parts = max(len(csel) * min(self.salt_buckets, 4), 1)
         ck_cols = [F.col(c) for c in self.table.clustering_key]
         (
             resolved.withColumn(BUCKET_COL, self._bucket_expr())
@@ -703,6 +736,10 @@ class ParquetMergeSink:
             .parquet(staging)
         )
         new_buckets = {b: list(segs) for b, segs in m["buckets"].items()}
+        new_tomb_segs = {
+            b: ([] if b in csel else list(segs))
+            for b, segs in m["tomb_segs"].items()
+        }
         written = set()
         if os.path.exists(staging):
             for d in sorted(os.listdir(staging)):
@@ -710,14 +747,15 @@ class ParquetMergeSink:
                     b = d.split("=", 1)[1]
                     new_buckets[b] = [os.path.join(rel_out, d)]
                     written.add(b)
-        for b in sel:  # bucket fully emptied by resolution (all dead + no tombs to keep? rows with tombstones persist, so this is rare)
-            if b not in written:
+        for b in sel:  # bucket fully emptied by resolution (cannot
+            if b not in written:  # happen while tombstone rows persist)
                 new_buckets.pop(b, None)
         new_manifest = dict(m)
         new_manifest["version"] = version
         new_manifest["buckets"] = new_buckets
+        new_manifest["tomb_segs"] = new_tomb_segs
         self._commit(new_manifest)
-        return {"compacted": sorted(sel), "compact_s": time.time() - t0}
+        return {"compacted": sorted(csel), "compact_s": time.time() - t0}
 
     # ------------------------------------------------------------------
     def vacuum(self) -> int:
@@ -727,7 +765,8 @@ class ParquetMergeSink:
         m = self.manifest()
         live = {
             os.path.join(self.path, p)
-            for segs in m["buckets"].values()
+            for segmap in (m["buckets"], m["tomb_segs"])
+            for segs in segmap.values()
             for p in segs
         }
         removed = 0
@@ -736,11 +775,17 @@ class ParquetMergeSink:
             return 0
         for v in os.listdir(data_root):
             vdir = os.path.join(data_root, v)
-            for d in list(os.listdir(vdir)):
-                full = os.path.join(vdir, d)
-                if full not in live and d.startswith(BUCKET_COL + "="):
-                    shutil.rmtree(full, ignore_errors=True)
-                    removed += 1
+            for sub in ("rows", "tombs", "base", "."):
+                sdir = os.path.normpath(os.path.join(vdir, sub))
+                if not os.path.isdir(sdir):
+                    continue
+                for d in list(os.listdir(sdir)):
+                    full = os.path.join(sdir, d)
+                    if full not in live and d.startswith(BUCKET_COL + "="):
+                        shutil.rmtree(full, ignore_errors=True)
+                        removed += 1
+                if sub != "." and not os.listdir(sdir):
+                    os.rmdir(sdir)
             if not os.listdir(vdir):
                 os.rmdir(vdir)
         return removed

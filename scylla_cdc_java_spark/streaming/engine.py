@@ -258,14 +258,27 @@ class Engine:
             )
             if self.cfg.mode == "preimage":
                 # verify op-0 rows against state-before-change (replicator
-                # preimage mode, Main.java:653-672) BEFORE applying the batch
+                # preimage mode, Main.java:653-672) BEFORE applying the
+                # batch. Target read is bucket-pruned to the partitions
+                # that actually carry preimage rows (one column-pruned
+                # scan of the slice) — the merge-on-read resolve then
+                # touches only those buckets, not the whole table.
+                from ..model import OP_PREIMAGE
                 from ..operators.preimage import check_preimages
 
-                mism = check_preimages(
-                    slice_df, self.sink.read_physical(), self.table,
-                    range_tombs=fold.range_tombs,
-                )
-                stats.preimage_mismatches += mism.count()
+                pre_buckets = [
+                    r["b"]
+                    for r in slice_df.where(F.col(COL_OP) == OP_PREIMAGE)
+                    .select(self.sink._bucket_expr().alias("b"))
+                    .distinct()
+                    .collect()
+                ]
+                if pre_buckets:
+                    mism = check_preimages(
+                        slice_df, self.sink.read_physical(pre_buckets),
+                        self.table, range_tombs=fold.range_tombs,
+                    )
+                    stats.preimage_mismatches += mism.count()
             new_pending_rows = fold.pending_range_df.collect()
             new_pending = [
                 {

@@ -87,16 +87,21 @@ def test_compact_then_vacuum_keeps_state(spark, tmp_root):
     def bucket_dirs(root):
         out = []
         for v in os.listdir(os.path.join(root, "data")):
-            out += os.listdir(os.path.join(root, "data", v))
+            for sub in os.listdir(os.path.join(root, "data", v)):
+                sdir = os.path.join(root, "data", v, sub)
+                if os.path.isdir(sdir):
+                    out += os.listdir(sdir)
         return out
 
     cstats = eng.sink.compact()
     assert cstats["compacted"]
     m2 = eng.sink.manifest()
     assert all(len(s) == 1 for s in m2["buckets"].values())
-    # tombstones are retained post-compaction (oracle semantics: they
-    # keep shadowing late lower-ts writes)
-    assert m2["tombs"] == m["tombs"]
+    # sidecar tombstones were folded into the rows and CLEARED (lake
+    # tombstone GC at compaction — their shadowing now lives in each
+    # covered row's _ts_tomb)
+    assert any(segs for segs in m["tomb_segs"].values())
+    assert not any(segs for segs in m2["tomb_segs"].values())
 
     n_before = len(bucket_dirs(eng.sink.path))
     removed = eng.sink.vacuum()
