@@ -70,19 +70,64 @@ class ReplayStats:
 
 def _log_layout(log_dir: str) -> dict[int, dict]:
     """Driver-side partition-dir listing: per generation, the stream
-    groups present and the max time bucket. Pure filesystem metadata —
-    no Spark job (the reference's equivalent driver reads are S1/S2)."""
+    groups present, the max time bucket, and the exact max event ms from
+    PARQUET FOOTER STATISTICS of the last bucket's files. Pure metadata
+    — no Spark job (the reference's equivalent driver reads are S1/S2;
+    at lake scale this role belongs to the table-format metadata
+    service, e.g. Iceberg manifests' per-file column bounds). The exact
+    bound lets replay close a generation at its true last event instead
+    of padding the tail with up to time_bucket/window_cap empty
+    microbatch windows."""
     out: dict[int, dict] = {}
     for gdir in glob.glob(os.path.join(glob.escape(log_dir), "generation=*")):
         g = int(gdir.rsplit("=", 1)[1])
         groups = set()
-        max_tb = 0
+        max_tb = -1
+        tb_dirs: dict[int, list[str]] = {}
         for sgdir in glob.glob(os.path.join(glob.escape(gdir), "stream_group=*")):
             groups.add(int(sgdir.rsplit("=", 1)[1]))
             for tbdir in glob.glob(os.path.join(glob.escape(sgdir), "time_bucket=*")):
-                max_tb = max(max_tb, int(tbdir.rsplit("=", 1)[1]))
-        out[g] = {"groups": sorted(groups), "max_time_bucket": max_tb}
+                tb = int(tbdir.rsplit("=", 1)[1])
+                max_tb = max(max_tb, tb)
+                tb_dirs.setdefault(tb, []).append(tbdir)
+        out[g] = {
+            "groups": sorted(groups),
+            "max_time_bucket": max(max_tb, 0),
+            "max_ms": _footer_max_ms(tb_dirs.get(max_tb, ())),
+        }
     return out
+
+
+def _footer_max_ms(dirs) -> int | None:
+    """Max of the `cdc$time.ms` column over the given dirs' parquet
+    footers (driver-side statistics read, no data pages touched)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+    best = None
+    for d in dirs:
+        for f in glob.glob(os.path.join(glob.escape(d), "*.parquet")):
+            try:
+                md = pq.ParquetFile(f).metadata
+            except Exception:  # unreadable footer -> fall back to bucket bound
+                return None
+            idx = next(
+                (
+                    i for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema
+                    == "cdc$time.ms"
+                ),
+                None,
+            ) if md.num_row_groups else None
+            if idx is None:
+                return None
+            for gi in range(md.num_row_groups):
+                st = md.row_group(gi).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                best = st.max if best is None else max(best, st.max)
+    return best
 
 
 class Engine:
@@ -223,8 +268,16 @@ class Engine:
             if gi + 1 < len(gens):
                 gen_end_ms = gens[gi + 1][0]
             else:
-                # replay mode closes the open generation at log exhaustion
-                gen_end_ms = (lay["max_time_bucket"] + 1) * self.time_bucket_ms
+                # replay mode closes the open generation at log
+                # exhaustion: the exact last-event bound from parquet
+                # footer stats when available (avoids up to
+                # time_bucket/window_cap empty tail windows), else the
+                # conservative bucket bound
+                gen_end_ms = (
+                    lay["max_ms"] + 1
+                    if lay.get("max_ms") is not None
+                    else (lay["max_time_bucket"] + 1) * self.time_bucket_ms
+                )
             now_ms = (
                 self.clock() if self.clock else gen_end_ms + self.cfg.late_writes_window_ms + 1
             )
