@@ -538,6 +538,70 @@ def q_cdc_replay_postimage(spark, sf_dir):
     )
 
 
+def _entry_pre_spec():
+    """Preimage world for the op-0 contract entry (Main.java:653-672)."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=45, n_events=3000,
+                               ttl_fraction=0.0)
+
+
+def q_cdc_replay_preimage(spark, sf_dir):
+    """W8/S7 op-0 PREIMAGE mode through the full engine: the world is
+    augmented with oracle-tracked before-images; mode='preimage'
+    verifies every op-0 row against the reconstructed state-before-
+    change WHILE replaying. Returns (n_rows, state digest, mismatch
+    count) — the oracle inlines the Python digest and asserts zero
+    mismatches on this consistent world."""
+    from scylla_cdc_java_spark import Engine, EngineConfig
+    from scylla_cdc_java_spark.datapipe.golden import FIELD_SEP, NULL_SENTINEL
+    from scylla_cdc_java_spark.generator import generate_world, write_world
+    from scylla_cdc_java_spark.images import with_images
+
+    spec = _entry_pre_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    world_dir = os.path.join(base, f"preworld_{spec.cache_key()}_v1")
+    done = os.path.join(world_dir, "_DONE")
+    if not os.path.exists(done):
+        world = with_images(generate_world(spec), preimage_fraction=0.5,
+                            postimage=False, seed=4242)
+        write_world(world, world_dir)
+        open(done, "w").close()
+    # preimage verification re-runs per replay; no cached target (a done
+    # checkpoint would skip the verify windows and zero the count)
+    import shutil as _sh
+    import tempfile as _tf
+
+    target = _tf.mkdtemp(prefix="cdc_entry_pre_")
+    try:
+        eng = Engine(
+            spark, os.path.join(world_dir, "cdc_log"),
+            os.path.join(world_dir, "generations.parquet"), target,
+            cfg=EngineConfig(mode="preimage", window_length_limit_ms=60_000),
+        )
+        stats = eng.replay()
+        line = F.concat_ws(
+            FIELD_SEP,
+            F.col("repo"),
+            F.col("path"),
+            *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
+              for c in ("commit", "lang", "content")],
+        )
+        row = eng.sink.read().select(line.alias("_l")).agg(
+            F.count("*").alias("n_rows"),
+            F.sha2(
+                F.concat_ws("\n", F.array_sort(F.collect_list("_l"))), 256
+            ).alias("state_sha"),
+        ).collect()[0]  # materialized before the temp target is removed
+        return spark.createDataFrame(
+            [(row["n_rows"], row["state_sha"],
+              int(stats.preimage_mismatches))],
+            schema="n_rows bigint, state_sha string, mismatches bigint",
+        )
+    finally:
+        _sh.rmtree(target, ignore_errors=True)
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@5 of the two SCALE ANN paths (LSH buckets, IVF probes)
     against the exact brute-force top-k — the quality trade-off of the
@@ -613,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay": q_cdc_replay,
         "cdc_replay_collections": q_cdc_replay_collections,
         "cdc_replay_postimage": q_cdc_replay_postimage,
+        "cdc_replay_preimage": q_cdc_replay_preimage,
         "ann_recall": q_ann_recall,
         "multimodal_resize": q_multimodal_resize,
     }
@@ -716,6 +781,11 @@ def _golden_oracles() -> dict[str, str]:
         npo, shapo = G.golden_cdc_digest_postimage(_entry_post_spec())
         out["cdc_replay_postimage"] = (
             f"select cast({npo} as bigint) as n_rows, '{shapo}' as state_sha"
+        )
+        npr, shapr = G.golden_cdc_digest_preimage(_entry_pre_spec())
+        out["cdc_replay_preimage"] = (
+            f"select cast({npr} as bigint) as n_rows, '{shapr}' as state_sha, "
+            f"cast(0 as bigint) as mismatches"
         )
         out["multimodal_resize"] = _values_sql(
             G.golden_resize(sf),

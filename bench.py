@@ -224,15 +224,20 @@ def main() -> None:
     # too long for the per-round bench budget; protocol + raw attempts
     # inside). Re-run `python tools/scaling_probe.py SCALING_r2.json` to
     # refresh.
-    probe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "SCALING_r2.json")
-    if os.path.exists(probe_path):
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    probe_path = next(
+        (p for name in ("SCALING_r3.json", "SCALING_r2.json")
+         if os.path.exists(p := os.path.join(repo_dir, name))),
+        None,
+    )
+    if probe_path:
         with open(probe_path) as f:
             probe = json.load(f)
         out["scaling_evidence"] = {
             "source": "tools/scaling_probe.py + tools/ballast_n.py "
                       "(pre-run campaigns, raw attempts in "
-                      "SCALING_r2.json, analysis in BASELINE.md)",
+                      f"{os.path.basename(probe_path)}, analysis in "
+                      "BASELINE.md)",
             "world": probe.get("world"),
             "n_attempts_events_per_sec":
                 probe.get("n_attempts_events_per_sec"),

@@ -396,3 +396,28 @@ def golden_resize(sf_dir: str, target_w: int = 224, target_h: int = 224
         rb = b[::step][:n_out]
         out.append((did, target_w, target_h, len(rb), zlib.crc32(rb)))
     return sorted(out)
+
+
+def golden_cdc_digest_preimage(spec, table=None) -> tuple[int, str]:
+    """Preimage-mode digest: augment the world with op-0 PREIMAGE rows
+    (sequential oracle-tracked before-images; images.with_images) and
+    replay through the pure Python oracle — op 0 is verification-only
+    (replicator Main.java:653-666), so the final state equals the delta
+    replay of the same augmented world. The engine side must ALSO report
+    zero preimage mismatches on this consistent world."""
+    from ..generator import generate_world
+    from ..images import with_images
+    from ..model import DEFAULT_TABLE
+    from ..oracle import final_state, replay
+
+    table = table or DEFAULT_TABLE
+    world = with_images(
+        generate_world(spec), preimage_fraction=0.5, postimage=False,
+        seed=4242, table=table,
+    )
+    rows = final_state(replay(world["events"], table=table))
+    lines = state_lines(
+        rows, value_cols=table.value_columns + table.collection_columns
+    )
+    sha = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return len(rows), sha
