@@ -233,6 +233,11 @@ class EngineConfig:
     # sleep at 50 ms in production code — judged a wart, now a config).
     sleep_scale: float = 1.0
     min_generation_age_ms: int = 30_000
+    # quiet period between generation-metadata re-reads in live tail
+    # (reference: UpdateableGenerationMetadata.java:29) — an idle poll
+    # inside the quiet window costs ZERO Spark jobs (cached generations
+    # + footer-stats window pruning)
+    gen_refresh_quiet_ms: int = 10_000
     num_buckets: int = 32  # target-table storage buckets (partition-key hash)
     shuffle_partitions: int = 32
     salt_buckets: int = 8  # salting fan-out for hot partition keys

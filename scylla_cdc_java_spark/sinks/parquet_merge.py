@@ -310,7 +310,14 @@ class ParquetMergeSink:
     def _tomb_schema_ddl(self) -> str:
         parts = [f"`{c}` string" for c in self.table.partition_key]
         parts += [
-            "`kind` tinyint",  # 0 = partition tombstone, 1 = range
+            # 0 = partition tombstone, 1 = closed range,
+            # 2 = pending range START, 3 = pending range END (2/3 are a
+            # TRANSPORT for checkpoint state: written with the sidecar,
+            # read back driver-side from the just-written files — no
+            # separate Spark collect job — and never applied as
+            # tombstones)
+            "`kind` tinyint",
+            "`cdc$stream_id` binary",
             "`lo` array<string>", "`lo_incl` boolean",
             "`hi` array<string>", "`hi_incl` boolean",
             "`ts` long",
@@ -613,9 +620,11 @@ class ParquetMergeSink:
         # (a 10^10-event window can carry 10^5+ deletes) ----------------
         part_key = list(tbl.partition_key)
         null_b = F.lit(None).cast("array<string>")
+        null_sid = F.lit(None).cast("binary").alias("cdc$stream_id")
         tombs = fold.part_tombs.select(
             *part_key,
             F.lit(0).cast("tinyint").alias("kind"),
+            null_sid,
             null_b.alias("lo"), F.lit(None).cast("boolean").alias("lo_incl"),
             null_b.alias("hi"), F.lit(None).cast("boolean").alias("hi_incl"),
             F.col("ts"),
@@ -623,9 +632,30 @@ class ParquetMergeSink:
             fold.range_tombs.select(
                 *part_key,
                 F.lit(1).cast("tinyint").alias("kind"),
+                null_sid,
                 "lo", "lo_incl", "hi", "hi_incl", "ts",
             )
+        ).unionByName(
+            fold.pending_range_df.select(
+                *part_key,
+                F.lit(2).cast("tinyint").alias("kind"),
+                F.col("cdc$stream_id"),
+                "lo", "lo_incl",
+                null_b.alias("hi"), F.lit(None).cast("boolean").alias("hi_incl"),
+                "ts",
+            )
         )
+        if fold.pending_end_df is not None:
+            tombs = tombs.unionByName(
+                fold.pending_end_df.select(
+                    *part_key,
+                    F.lit(3).cast("tinyint").alias("kind"),
+                    F.col("cdc$stream_id"),
+                    null_b.alias("lo"),
+                    F.lit(None).cast("boolean").alias("lo_incl"),
+                    "hi", "hi_incl", "ts",
+                )
+            )
         rel_tombs = os.path.join("data", f"v{version}", "tombs")
         tomb_staging = os.path.join(self.path, rel_tombs)
         (
@@ -655,6 +685,22 @@ class ParquetMergeSink:
             _parquet_rows(os.path.join(self.path, new_buckets[str(b)][-1]))
             for b in touched
         )
+        # checkpoint state transported via the sidecar: read the
+        # just-written files' kind>=2 rows driver-side (pyarrow — no
+        # Spark job) and fill the checkpoint unless the caller pinned
+        # the keys explicitly (e.g. [] at a generation barrier)
+        pending_starts, pending_ends = _read_pending(tomb_staging, part_key)
+        if checkpoint is not None:
+            if "pending_ranges" not in checkpoint:
+                checkpoint["pending_ranges"] = [
+                    {**p, "stream_id": p["stream_id"].hex()}
+                    for p in pending_starts
+                ]
+            if "pending_ends" not in checkpoint:
+                checkpoint["pending_ends"] = [
+                    {**p, "stream_id": p["stream_id"].hex()}
+                    for p in pending_ends
+                ]
         new_manifest = {
             "version": version,
             "buckets": new_buckets,
@@ -668,6 +714,8 @@ class ParquetMergeSink:
             "touched_buckets": touched,
             "version": version,
             "delta_rows": delta_rows,
+            "pending_ranges": pending_starts,
+            "pending_ends": pending_ends,
             "merge_s": time.time() - t0,
         }
 
@@ -758,6 +806,19 @@ class ParquetMergeSink:
         return {"compacted": sorted(csel), "compact_s": time.time() - t0}
 
     # ------------------------------------------------------------------
+    def commit_checkpoint(self, checkpoint: dict | None) -> dict:
+        """Advance the checkpoint WITHOUT any data change — one atomic
+        manifest swap, zero Spark jobs. Used by the engine for windows
+        that provably contain no events (parquet footer-stats pruning):
+        consumption lineage still moves forward exactly-once."""
+        m = self.manifest()
+        m["version"] += 1
+        m["checkpoint"] = checkpoint
+        self._commit(m)
+        return {"touched_buckets": [], "version": m["version"],
+                "delta_rows": 0, "merge_s": 0.0, "skipped": True}
+
+    # ------------------------------------------------------------------
     def vacuum(self) -> int:
         """Delete data dirs no longer referenced by the manifest (orphans
         from crashed batches or superseded-by-compaction segments).
@@ -789,6 +850,33 @@ class ParquetMergeSink:
             if not os.listdir(vdir):
                 os.rmdir(vdir)
         return removed
+
+
+def _read_pending(tomb_staging: str, part_key: list[str]):
+    """Driver-side read of kind>=2 checkpoint-transport rows from the
+    just-written tombstone sidecar (pyarrow, no Spark job)."""
+    starts, ends = [], []
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return starts, ends
+    for f in glob.glob(os.path.join(
+            glob.escape(tomb_staging), "**", "*.parquet"), recursive=True):
+        try:
+            t = pq.read_table(f, filters=[("kind", ">=", 2)])
+        except Exception:
+            continue
+        for r in t.to_pylist():
+            base = {
+                "stream_id": bytes(r["cdc$stream_id"]),
+                **{k: r[k] for k in part_key},
+                "ts": int(r["ts"]),
+            }
+            if r["kind"] == 2:
+                starts.append({**base, "lo": r["lo"], "lo_incl": bool(r["lo_incl"])})
+            else:
+                ends.append({**base, "hi": r["hi"], "hi_incl": bool(r["hi_incl"])})
+    return starts, ends
 
 
 def _parquet_rows(d: str) -> int:

@@ -98,6 +98,39 @@ def _log_layout(log_dir: str) -> dict[int, dict]:
     return out
 
 
+def _files_ms_bounds(files) -> tuple[int, int] | None:
+    """(min, max) of `cdc$time.ms` over the files' footers, or None when
+    any footer lacks usable statistics."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+    lo = hi = None
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            return None
+        if not md.num_row_groups:
+            continue
+        idx = next(
+            (i for i in range(md.num_columns)
+             if md.row_group(0).column(i).path_in_schema == "cdc$time.ms"),
+            None,
+        )
+        if idx is None:
+            return None
+        for gi in range(md.num_row_groups):
+            st = md.row_group(gi).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return lo, hi
+
+
 def _footer_max_ms(dirs) -> int | None:
     """Max of the `cdc$time.ms` column over the given dirs' parquet
     footers (driver-side statistics read, no data pages touched)."""
@@ -174,6 +207,9 @@ class Engine:
         # key-disjoint and their targets union to the full table.
         self.group_salt = dict(group_salt) if group_salt else {}
         self._log_df = None  # lazily-created base scan, reused per window
+        self._tb_bounds_cache: dict = {}  # (gen, tb, files) -> (min_ms, max_ms)
+        self._gens_cache: list | None = None
+        self._gens_fetched_ms: int = -(10**18)
         self.sink = ParquetMergeSink(
             spark,
             target_path,
@@ -182,6 +218,38 @@ class Engine:
             salt_buckets=self.cfg.salt_buckets,
             compact_threshold=self.cfg.compact_threshold,
         )
+
+    # ------------------------------------------------------------------
+    def _window_has_data(self, gstart: int, w: FetchingWindow) -> bool:
+        """Metadata-only emptiness test for a fetch window: per
+        (generation, time_bucket) event-ms bounds from parquet FOOTER
+        statistics (cached per file set; the Iceberg-manifest role). A
+        window whose ms range intersects no file's [min, max] can be
+        checkpoint-advanced without running ANY Spark job — in live
+        tail an idle poll then costs zero cluster work. Conservative:
+        unreadable/absent stats count as data."""
+        start_ms = (w.start_ts + 1) // SEQ_MOD if w.start_ts != EPOCH_START else 0
+        end_ms = w.end_ts // SEQ_MOD
+        lo_tb = start_ms // self.time_bucket_ms
+        hi_tb = end_ms // self.time_bucket_ms
+        if hi_tb - lo_tb > 64:  # huge window (epoch-0 backfill): don't bother
+            return True
+        base = os.path.join(glob.escape(self.log_dir), f"generation={gstart}")
+        for tb in range(lo_tb, hi_tb + 1):
+            files = tuple(sorted(glob.glob(os.path.join(
+                base, "stream_group=*", f"time_bucket={tb}", "*.parquet"))))
+            if not files:
+                continue
+            key = (gstart, tb, files)
+            bounds = self._tb_bounds_cache.get(key)
+            if bounds is None:
+                bounds = _files_ms_bounds(files)
+                self._tb_bounds_cache[key] = bounds
+            if bounds is None:  # stats unavailable -> assume data
+                return True
+            if bounds[0] <= end_ms and bounds[1] >= start_ms:
+                return True
+        return False
 
     # ------------------------------------------------------------------
     def generations(self) -> list[tuple[int, list[bytes]]]:
@@ -296,6 +364,41 @@ class Engine:
                 time.sleep(self.cfg.poll_idle_s * self.cfg.sleep_scale)
                 continue
 
+            if not self._window_has_data(gstart, w):
+                # footer-stats pruning: the window provably holds no
+                # events — advance lineage with a manifest-only commit,
+                # zero Spark jobs (pending ranges carry over untouched;
+                # an empty window cannot close or open a range)
+                groups_ckpt = dict(ckpt.get("groups", {}))
+                for g in lay["groups"]:
+                    ent = groups_ckpt.get(str(g), {"rows_applied": 0})
+                    ent.update({"generation": gstart, "last_ts": w.end_ts})
+                    groups_ckpt[str(g)] = ent
+                is_last_gen = gi + 1 >= len(gens)
+                new_ckpt = {
+                    "gen_index": gi + 1 if w.last_window else gi,
+                    "last_ts": w.end_ts,
+                    "groups": groups_ckpt,
+                    "pending_ranges": [
+                        {**p, "stream_id": p["stream_id"].hex()}
+                        for p in pending
+                    ],
+                    "done": bool(w.last_window and is_last_gen),
+                }
+                self.sink.commit_checkpoint(new_ckpt)
+                stats.windows += 1
+                stats.per_window.append(
+                    {"gen": gstart, "start": w.start_ts, "end": w.end_ts,
+                     "rows": 0, "merge_s": 0.0, "skipped": True}
+                )
+                ckpt = new_ckpt
+                last_ts = w.end_ts
+                if w.last_window:
+                    pending = []
+                    stats.generations += 1
+                    gi += 1
+                continue
+
             # One window = one bounded slice (the reference's fetch window
             # caps memory the same way). NOT cached by default: each
             # consumer re-scans the parquet with its own opcode/column
@@ -332,18 +435,6 @@ class Engine:
                         self.table, range_tombs=fold.range_tombs,
                     )
                     stats.preimage_mismatches += mism.count()
-            new_pending_rows = fold.pending_range_df.collect()
-            new_pending = [
-                {
-                    "stream_id": bytes(r["cdc$stream_id"]),
-                    **{k: r[k] for k in self.table.partition_key},
-                    "lo": r["lo"],
-                    "lo_incl": r["lo_incl"],
-                    "ts": r["ts"],
-                }
-                for r in new_pending_rows
-            ]
-
             group_rows: dict[str, int] = {}
             window_rows = 0
             if collect_group_metrics:
@@ -373,16 +464,17 @@ class Engine:
                 groups_ckpt[str(g)] = ent
 
             is_last_gen = gi + 1 >= len(gens)
+            # pending_ranges omitted: merge() transports them via the
+            # tombstone sidecar write and fills the checkpoint itself
+            # (one fewer Spark job per window than collecting here)
             new_ckpt = {
                 "gen_index": gi + 1 if w.last_window else gi,
                 "last_ts": w.end_ts,
                 "groups": groups_ckpt,
-                "pending_ranges": [
-                    {**p, "stream_id": p["stream_id"].hex()} for p in new_pending
-                ],
                 "done": bool(w.last_window and is_last_gen),
             }
             mstats = self.sink.merge(fold, new_ckpt)
+            new_pending = mstats.get("pending_ranges", [])
             if self.cfg.extra.get("persist_slice", False):
                 slice_df.unpersist()
 
@@ -434,9 +526,26 @@ class Engine:
         stats.wall_s = time.time() - t0
         return stats
 
+    def _generations_cached(self) -> list:
+        """Generations list with the reference's 10 s quiet period
+        between metadata re-reads (UpdateableGenerationMetadata.java:29)
+        — inside the quiet window an idle tail poll runs no Spark job
+        at all (combined with footer-stats window pruning)."""
+        now = self.clock() if self.clock else None
+        if (
+            self._gens_cache is not None
+            and now is not None
+            and now - self._gens_fetched_ms < self.cfg.gen_refresh_quiet_ms
+        ):
+            return self._gens_cache
+        self._gens_cache = self.generations()
+        if now is not None:
+            self._gens_fetched_ms = now
+        return self._gens_cache
+
     def _tail_step(self) -> dict | None:
         self._log_df = None  # re-list: tail mode must see newly appended files
-        gens = self.generations()
+        gens = self._generations_cached()
         ckpt = self.sink.checkpoint() or {
             "gen_index": 0,
             "last_ts": EPOCH_START,
@@ -463,29 +572,34 @@ class Engine:
             )
         except NotReady:
             return None
+        if not self._window_has_data(gstart, w):
+            # idle poll with provably no events: zero Spark jobs
+            new_ckpt = {
+                "gen_index": gi + 1 if w.last_window else gi,
+                "last_ts": w.end_ts,
+                "groups": ckpt.get("groups", {}),
+                "pending_ranges": [] if w.last_window else
+                    ckpt.get("pending_ranges", []),
+                "done": bool(w.last_window and gi + 1 >= len(gens)),
+            }
+            self.sink.commit_checkpoint(new_ckpt)
+            return {"rows": 0, "cropped": w.cropped, "skipped": True}
         slice_df = self._read_window(gstart, w)
         pending = [
             {**p, "stream_id": bytes.fromhex(p["stream_id"])}
             for p in ckpt.get("pending_ranges", [])
         ]
         fold = fold_batch(slice_df, self.table, pending, mode=self.cfg.mode)
-        new_pending = [
-            {
-                "stream_id": bytes(r["cdc$stream_id"]).hex(),
-                **{k: r[k] for k in self.table.partition_key},
-                "lo": r["lo"],
-                "lo_incl": r["lo_incl"],
-                "ts": r["ts"],
-            }
-            for r in fold.pending_range_df.collect()
-        ]
         new_ckpt = {
             "gen_index": gi + 1 if w.last_window else gi,
             "last_ts": w.end_ts,
             "groups": ckpt.get("groups", {}),
-            "pending_ranges": [] if w.last_window else new_pending,
             "done": bool(w.last_window and gi + 1 >= len(gens)),
         }
+        if w.last_window:
+            # generation barrier: pending ranges never straddle
+            # generations — pin [] so merge() does not fill it
+            new_ckpt["pending_ranges"] = []
         # rows-applied metric comes from the delta segment's parquet
         # footers (driver-side) — round 2 ran an extra full-scan
         # count() job per tail window just for the backoff decision

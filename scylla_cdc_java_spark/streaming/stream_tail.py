@@ -119,29 +119,10 @@ class StructuredTail:
             normalize_log(batch_df), self.table, pending, mode=self.cfg.mode,
             pending_range_ends=pending_ends,
         )
-        new_pending = [
-            {
-                "stream_id": bytes(r["cdc$stream_id"]).hex(),
-                **{k: r[k] for k in self.table.partition_key},
-                "lo": r["lo"],
-                "lo_incl": r["lo_incl"],
-                "ts": r["ts"],
-            }
-            for r in fold.pending_range_df.collect()
-        ]
-        new_pending_ends = [
-            {
-                "stream_id": bytes(r["cdc$stream_id"]).hex(),
-                **{k: r[k] for k in self.table.partition_key},
-                "hi": r["hi"],
-                "hi_incl": r["hi_incl"],
-                "ts": r["ts"],
-            }
-            for r in fold.pending_end_df.collect()
-        ]
+        # pending starts AND orphan ends ride the tombstone sidecar
+        # write (kind 2/3); merge() fills both checkpoint keys itself —
+        # two fewer Spark collect jobs per microbatch
         new_ckpt = {
-            "pending_ranges": new_pending,
-            "pending_ends": new_pending_ends,
             "batches": ckpt.get("batches", 0) + 1,
             "last_stream_batch_id": batch_id,
         }

@@ -101,3 +101,102 @@ def test_resume_from_checkpoint_mid_log(spark, tmp_root):
     world, eng, stats = _run_world(spark, tmp_root, spec, "multi", cfg)
     assert stats.windows > 4  # really chained
     _assert_matches_oracle(world, eng)
+
+
+def test_event_gap_windows_skipped_by_footer_stats(spark, tmp_root):
+    """Footer-stats window pruning: a mid-generation idle gap must be
+    consumed as checkpoint-only commits (per_window skipped=True, zero
+    data versions) while the final state still matches the oracle."""
+    from scylla_cdc_java_spark.model import TableConfig
+    from scylla_cdc_java_spark.oracle import OracleState, apply_event, final_state
+
+    TBL = TableConfig()
+    GEN0 = 1_700_000_000_000
+    GEN1 = GEN0 + 600_000
+    SID = b"G" * 16
+    seq = [0]
+
+    def ev(op, ms, path, content=None):
+        seq[0] += 1
+        return {"op": op, "ms": ms, "seq": seq[0], "stream_id": SID,
+                "repo": "r/gap", "path": path, "commit": None, "lang": None,
+                "content": content, "del_commit": None, "del_lang": None,
+                "del_content": None, "ttl": None}
+
+    evs = [ev(2, GEN0 + 1000 * i, f"a{i}", f"x{i}") for i in range(5)]
+    # generation 2: burst, THREE empty time buckets of silence, burst
+    evs += [ev(2, GEN1 + 1000 * i, f"b{i}", f"y{i}") for i in range(5)]
+    evs += [ev(1, GEN1 + 1_800_000 + 1000 * i, f"b{i}", f"z{i}") for i in range(5)]
+
+    rows = [
+        (e["stream_id"], {"ms": e["ms"], "seq": e["seq"]}, e["op"], e["ttl"],
+         e["repo"], e["path"], e["commit"], e["lang"], e["content"],
+         None, None, None,
+         GEN0 if e["ms"] < GEN1 else GEN1, 0, e["ms"] // 600_000)
+        for e in evs
+    ]
+    ddl = (
+        "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+        "`cdc$operation` tinyint, `cdc$ttl` long, "
+        "repo string, path string, commit string, lang string, content string, "
+        "`cdc$deleted_commit` boolean, `cdc$deleted_lang` boolean, "
+        "`cdc$deleted_content` boolean, "
+        "generation long, stream_group int, time_bucket long"
+    )
+    df = spark.createDataFrame(rows, schema=ddl)
+    log_dir = f"{tmp_root}/gap_log"
+    (df.write.mode("overwrite")
+       .partitionBy("generation", "stream_group", "time_bucket")
+       .parquet(log_dir))
+    gpath = f"{tmp_root}/gap_gens.parquet"
+    spark.createDataFrame([(GEN0, [SID]), (GEN1, [SID])],
+                          schema="time long, streams array<binary>"
+                          ).coalesce(1).write.mode("overwrite").parquet(gpath)
+
+    eng = Engine(spark, log_dir, gpath, f"{tmp_root}/gap_target",
+                 cfg=EngineConfig(window_length_limit_ms=60_000))
+    stats = eng.replay()
+
+    skipped = [w for w in stats.per_window if w.get("skipped")]
+    busy = [w for w in stats.per_window if not w.get("skipped")]
+    assert len(skipped) >= 10, stats.per_window  # the empty buckets
+    assert busy  # the bursts actually merged
+
+    st = OracleState(table=TBL)
+    for e in evs:
+        apply_event(st, e)
+    want = sorted((r["repo"], r["path"], r["content"])
+                  for r in final_state(st))
+    got = sorted((r["repo"], r["path"], r["content"])
+                 for r in eng.sink.read().collect())
+    assert got == want
+
+
+def test_generation_metadata_quiet_period(spark, tmp_root):
+    """T6: live tail re-reads generation metadata at most once per
+    quiet period (UpdateableGenerationMetadata.java:29) — an idle poll
+    inside the window does no generations read."""
+    world = generate_world(GenSpec(seed=11, n_events=200, n_repos=5,
+                                   paths_per_repo=4, n_generations=1,
+                                   streams_per_generation=2))
+    info = write_world(world, f"{tmp_root}/qp_world")
+    clk = {"t": 1_700_000_000_000 + 60_000}
+    eng = Engine(spark, info["log_dir"], info["generations_path"],
+                 f"{tmp_root}/qp_target", clock=lambda: clk["t"],
+                 cfg=EngineConfig(sleep_scale=0.0))
+    calls = {"n": 0}
+    real = eng.generations
+
+    def counting():
+        calls["n"] += 1
+        return real()
+
+    eng.generations = counting
+    eng._generations_cached()
+    eng._generations_cached()  # same instant: cached
+    clk["t"] += 5_000
+    eng._generations_cached()  # inside quiet period: cached
+    assert calls["n"] == 1
+    clk["t"] += 10_000
+    eng._generations_cached()  # quiet period expired: re-read
+    assert calls["n"] == 2
