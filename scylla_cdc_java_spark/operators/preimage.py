@@ -94,7 +94,6 @@ def _build_union(
     """SQL half of the preimage check, exposed for white-box tests:
     returns (union_df, per-key pandas check fn, output schema, pk)."""
     pk = list(table.primary_key)
-    repo_col = table.partition_key[0]
     value_cols = [
         c for c in table.value_columns if c in batch_df.columns
     ]

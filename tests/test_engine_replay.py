@@ -200,3 +200,91 @@ def test_generation_metadata_quiet_period(spark, tmp_root):
     clk["t"] += 10_000
     eng._generations_cached()  # quiet period expired: re-read
     assert calls["n"] == 2
+
+
+def test_window_and_compaction_invariance(spark, tmp_root):
+    """The final table must be IDENTICAL regardless of how the log is
+    windowed and how often buckets compact — the exactly-once /
+    LWW-monotonicity contract stated operationally. Same world, three
+    engine configs (many small windows + aggressive compaction; medium;
+    one giant window + no compaction), one oracle."""
+    spec = GenSpec(seed=91, n_events=2500, n_repos=20, paths_per_repo=8,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=120_000, p_range_delete=0.05)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/inv_world")
+    configs = [
+        ("small", EngineConfig(window_length_limit_ms=20_000,
+                               compact_threshold=2)),
+        ("mid", EngineConfig(window_length_limit_ms=60_000,
+                             compact_threshold=4)),
+        ("one", EngineConfig(window_length_limit_ms=600_000,
+                             compact_threshold=10_000)),
+    ]
+    states = {}
+    windows = {}
+    for tag, cfg in configs:
+        eng = Engine(spark, info["log_dir"], info["generations_path"],
+                     f"{tmp_root}/inv_target_{tag}", cfg=cfg)
+        stats = eng.replay()
+        windows[tag] = stats.windows
+        states[tag] = _engine_state(eng.sink)
+        last_eng = eng
+    assert windows["small"] > windows["mid"] > windows["one"]
+    assert states["small"] == states["mid"] == states["one"]
+    _assert_matches_oracle(world, last_eng)
+
+
+def test_idle_tail_poll_runs_zero_spark_jobs(spark, tmp_root):
+    """The zero-job idle claim, pinned with the Spark status tracker: a
+    tail poll over a provably-empty window (footer-stats pruning + the
+    generations quiet period) must schedule NO Spark job."""
+    from scylla_cdc_java_spark.model import pack_time
+
+    GEN0 = 1_700_000_000_000
+    SID = b"Z" * 16
+    rows = [
+        (SID, {"ms": GEN0 + 1000 * i, "seq": i}, 2, None,
+         "r/idle", f"p{i}", None, None, f"v{i}", None, None, None,
+         GEN0, 0, (GEN0 + 1000 * i) // 600_000)
+        for i in range(5)
+    ]
+    ddl = (
+        "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+        "`cdc$operation` tinyint, `cdc$ttl` long, "
+        "repo string, path string, commit string, lang string, content string, "
+        "`cdc$deleted_commit` boolean, `cdc$deleted_lang` boolean, "
+        "`cdc$deleted_content` boolean, "
+        "generation long, stream_group int, time_bucket long"
+    )
+    log_dir = f"{tmp_root}/idle_log"
+    (spark.createDataFrame(rows, schema=ddl)
+     .write.mode("overwrite")
+     .partitionBy("generation", "stream_group", "time_bucket")
+     .parquet(log_dir))
+    gpath = f"{tmp_root}/idle_gens.parquet"
+    spark.createDataFrame([(GEN0, [SID])],
+                          schema="time long, streams array<binary>"
+                          ).coalesce(1).write.mode("overwrite").parquet(gpath)
+
+    clk = {"t": GEN0 + 120_000}
+    eng = Engine(spark, log_dir, gpath, f"{tmp_root}/idle_target",
+                 clock=lambda: clk["t"],
+                 cfg=EngineConfig(window_length_limit_ms=30_000,
+                                  sleep_scale=0.0))
+    # consume the real data first (this DOES run jobs)
+    s1 = eng._tail_step()
+    assert s1 and s1["rows"] > 0
+    # warm the generations cache within the quiet period, then poll an
+    # empty window under a job group: zero jobs allowed
+    clk["t"] += 5_000
+    eng._generations_cached()
+    sc = spark.sparkContext
+    sc.setJobGroup("idle_probe", "must stay empty")
+    try:
+        s2 = eng._tail_step()
+    finally:
+        sc.setJobGroup("", "")
+    assert s2 is not None and s2.get("skipped") and s2["rows"] == 0
+    ids = sc.statusTracker().getJobIdsForGroup("idle_probe")
+    assert list(ids) == [], ids
