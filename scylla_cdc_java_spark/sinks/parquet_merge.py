@@ -36,8 +36,12 @@ Layout::
                           "tomb_segs": {bid: [seg_relpath, ...]},
                           "value_columns", "collection_columns",
                           "checkpoint"}
+      manifests/v<version>.json   (immutable snapshot per commit:
+                          ``read(version=...)`` time travel;
+                          ``vacuum(retain_snapshots=K)`` bounds history)
       data/v<version>/rows/__bucket=<bid>/*.parquet
       data/v<version>/tombs/__bucket=<bid>/*.parquet
+      data/v<version>/base/__bucket=<bid>/*.parquet   (compacted)
 
 Buckets are ``pmod(xxhash64(partition key...), num_buckets)`` — all
 partition-key columns participate (composite keys hash and join on every
@@ -152,7 +156,38 @@ class ParquetMergeSink:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "MANIFEST.json")
 
-    def manifest(self) -> dict:
+    def snapshots(self) -> list[int]:
+        """Committed snapshot versions still on disk (oldest first)."""
+        snap_dir = os.path.join(self.path, "manifests")
+        if not os.path.isdir(snap_dir):
+            return []
+        out = []
+        for f in os.listdir(snap_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is not None:
+            snap = os.path.join(self.path, "manifests", f"v{version}.json")
+            if not os.path.exists(snap):
+                raise FileNotFoundError(
+                    f"snapshot v{version} not found (vacuumed or never "
+                    f"committed); available: {self.snapshots()}"
+                )
+            with open(snap) as f:
+                m = json.load(f)
+            m["buckets"] = {
+                b: ([p] if isinstance(p, str) else list(p))
+                for b, p in m["buckets"].items()
+            }
+            m.setdefault("collection_columns",
+                         list(self.table.collection_columns))
+            m.setdefault("tomb_segs", {})
+            return m
         if not os.path.exists(self._manifest_path):
             return {
                 "version": 0,
@@ -178,6 +213,15 @@ class ParquetMergeSink:
         return self.manifest().get("checkpoint")
 
     def _commit(self, manifest: dict) -> None:
+        # immutable snapshot first (enables time travel / snapshot GC),
+        # then the atomic current-pointer swap
+        snap_dir = os.path.join(self.path, "manifests")
+        os.makedirs(snap_dir, exist_ok=True)
+        snap = os.path.join(snap_dir, f"v{manifest['version']}.json")
+        tmp = snap + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, snap)
         tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -450,14 +494,17 @@ class ParquetMergeSink:
             *self._phys_cols(vcols, ccols)
         )
 
-    def read_physical(self, buckets: list[int] | None = None) -> DataFrame:
+    def read_physical(self, buckets: list[int] | None = None,
+                      version: int | None = None) -> DataFrame:
         """Resolved physical view (merge-on-read): segment union ->
         per-key LWW aggregation -> tombstone application. The
         aggregation is SKIPPED when every selected bucket holds exactly
         one segment (a compacted base — or a single delta — is already
         key-unique), leaving only cheap broadcast joins + expressions:
-        a fully-compacted table reads at copy-on-write speed."""
-        m = self.manifest()
+        a fully-compacted table reads at copy-on-write speed.
+        ``version`` time-travels to a committed snapshot (its segments
+        must not have been vacuumed past the retention window)."""
+        m = self.manifest(version)
         sel = m["buckets"]
         if buckets is not None:
             want = {str(b) for b in buckets}
@@ -488,15 +535,19 @@ class ParquetMergeSink:
             phys = phys.unionByName(p)
         return self._apply_tombstones(phys, m, bsel)
 
-    def read(self, as_of_ms: int | None = None) -> DataFrame:
+    def read(self, as_of_ms: int | None = None,
+             version: int | None = None) -> DataFrame:
         """Public view: live rows, logical columns only. ``as_of_ms``
         applies TTL expiry as of that instant (Scylla expires a cell at
         write-time + TTL; the lake sink applies the same rule at read
-        time — None skips the check entirely, zero overhead)."""
-        m = self.manifest()
+        time — None skips the check entirely, zero overhead).
+        ``version`` time-travels to a committed snapshot (Iceberg-style:
+        every commit wrote an immutable manifest under ``manifests/``;
+        ``vacuum(retain_snapshots=K)`` bounds how far back is readable)."""
+        m = self.manifest(version)
         vcols = m["value_columns"]
         coll_cols = m["collection_columns"]
-        phys = self.read_physical()
+        phys = self.read_physical(version=version)
 
         def _vis_coll(c):
             # resolved cells already beat every tombstone; visibility =
@@ -819,14 +870,31 @@ class ParquetMergeSink:
                 "delta_rows": 0, "merge_s": 0.0, "skipped": True}
 
     # ------------------------------------------------------------------
-    def vacuum(self) -> int:
-        """Delete data dirs no longer referenced by the manifest (orphans
-        from crashed batches or superseded-by-compaction segments).
-        Safe anytime after commit."""
+    def vacuum(self, retain_snapshots: int = 0) -> int:
+        """Delete data dirs referenced by neither the current manifest
+        nor the newest ``retain_snapshots`` snapshots (orphans from
+        crashed batches, superseded-by-compaction segments, and expired
+        time-travel history). Snapshot manifests older than the
+        retention window are deleted too, so ``snapshots()`` only lists
+        readable versions. Safe anytime after commit."""
         m = self.manifest()
+        keep = [m]
+        snaps = self.snapshots()
+        retained = snaps[-retain_snapshots:] if retain_snapshots > 0 else []
+        for v in retained:
+            if v != m["version"]:
+                keep.append(self.manifest(version=v))
+        snap_dir = os.path.join(self.path, "manifests")
+        for v in snaps:
+            if v not in retained and v != m["version"]:
+                try:
+                    os.remove(os.path.join(snap_dir, f"v{v}.json"))
+                except OSError:
+                    pass
         live = {
             os.path.join(self.path, p)
-            for segmap in (m["buckets"], m["tomb_segs"])
+            for km in keep
+            for segmap in (km["buckets"], km["tomb_segs"])
             for segs in segmap.values()
             for p in segs
         }

@@ -1,0 +1,95 @@
+"""Snapshot time travel on the merge sink: every commit writes an
+immutable manifest under ``manifests/`` (the Iceberg snapshot model);
+``read(version=...)`` reconstructs any retained snapshot, and
+``vacuum(retain_snapshots=K)`` bounds the readable history while never
+touching segments the retained snapshots still reference."""
+
+import pytest
+
+from scylla_cdc_java_spark.model import (
+    OP_ROW_DELETE,
+    OP_ROW_INSERT,
+    OP_ROW_UPDATE,
+    TableConfig,
+)
+from scylla_cdc_java_spark.operators.fold import fold_batch, normalize_log
+from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+
+SID = b"\x09" * 16
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _batch(spark, rows):
+    data = [
+        (SID, {"ms": r["ms"], "seq": r["seq"]}, r["op"],
+         *[r.get(c) for c in COLS])
+        for r in rows
+    ]
+    ddl = (
+        "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+        "`cdc$operation` tinyint, "
+        + ", ".join(f"`{c}` string" for c in COLS)
+    )
+    return normalize_log(spark.createDataFrame(data, schema=ddl))
+
+
+def _state(sink, version=None):
+    return sorted(
+        (r["repo"], r["path"], r["content"])
+        for r in sink.read(version=version).collect()
+    )
+
+
+def test_time_travel_and_snapshot_gc(spark, tmp_root):
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/tt_target", table,
+                            num_buckets=4)
+
+    b1 = _batch(spark, [
+        {"op": OP_ROW_INSERT, "ms": 10, "seq": 0, "repo": "o/r",
+         "path": "a.py", "content": "v1"},
+        {"op": OP_ROW_INSERT, "ms": 11, "seq": 1, "repo": "o/r",
+         "path": "b.py", "content": "w1"},
+    ])
+    sink.merge(fold_batch(b1, table), {"step": 1})
+    v1 = sink.manifest()["version"]
+    s1 = _state(sink)
+
+    b2 = _batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "o/r",
+         "path": "a.py", "content": "v2"},
+        {"op": OP_ROW_DELETE, "ms": 21, "seq": 1, "repo": "o/r",
+         "path": "b.py"},
+    ])
+    sink.merge(fold_batch(b2, table), {"step": 2})
+    v2 = sink.manifest()["version"]
+    s2 = _state(sink)
+
+    assert s1 == [("o/r", "a.py", "v1"), ("o/r", "b.py", "w1")]
+    assert s2 == [("o/r", "a.py", "v2")]
+    assert v1 in sink.snapshots() and v2 in sink.snapshots()
+
+    # time travel reconstructs the PRE-update snapshot exactly
+    assert _state(sink, version=v1) == s1
+    assert _state(sink, version=v2) == s2
+
+    # retention: keep only the newest snapshot; v1 becomes unreadable,
+    # its superseded segments are reaped, the current state is intact
+    removed = sink.vacuum(retain_snapshots=1)
+    assert v1 not in sink.snapshots()
+    with pytest.raises(FileNotFoundError):
+        sink.manifest(version=v1)
+    assert _state(sink) == s2
+
+    # compaction + retention interplay: compact, old pre-compaction
+    # snapshot v2 stays readable while retained...
+    sink.compact()
+    v3 = sink.manifest()["version"]
+    assert _state(sink, version=v3) == s2
+    assert _state(sink, version=v2) == s2  # still referenced + retained
+    # ...then expires with retention 0 (current-only), and vacuum
+    # removes the superseded delta segments
+    removed2 = sink.vacuum(retain_snapshots=0)
+    assert removed2 > 0
+    assert sink.snapshots() == [v3]
+    assert _state(sink) == s2
