@@ -857,6 +857,23 @@ class ParquetMergeSink:
         return {"compacted": sorted(csel), "compact_s": time.time() - t0}
 
     # ------------------------------------------------------------------
+    def rollback(self, version: int) -> dict:
+        """Reset the table to snapshot ``version`` — table state AND the
+        embedded consumption checkpoint together, so a subsequent
+        ``Engine.replay()`` resumes from that point in the log and
+        idempotently re-applies everything after it (monotone LWW makes
+        re-application safe; the reference replays failed windows on the
+        same argument, Worker.java:105-114). The rollback itself is a
+        normal atomic commit: a NEW version whose content is the old
+        snapshot, so it is itself time-travelable and crash-safe. The
+        snapshot's segments must still be retained (vacuum)."""
+        snap = self.manifest(version=version)
+        cur = self.manifest()
+        snap["version"] = cur["version"] + 1
+        self._commit(snap)
+        return {"rolled_back_to": version, "version": snap["version"]}
+
+    # ------------------------------------------------------------------
     def commit_checkpoint(self, checkpoint: dict | None) -> dict:
         """Advance the checkpoint WITHOUT any data change — one atomic
         manifest swap, zero Spark jobs. Used by the engine for windows

@@ -93,3 +93,59 @@ def test_time_travel_and_snapshot_gc(spark, tmp_root):
     assert removed2 > 0
     assert sink.snapshots() == [v3]
     assert _state(sink) == s2
+
+
+def test_rollback_then_replay_reconverges(spark, tmp_root):
+    """Rollback = snapshot restore of table + checkpoint in one atomic
+    commit; a fresh Engine.replay() after rollback re-consumes the log
+    suffix idempotently and reconverges on the oracle state."""
+    from scylla_cdc_java_spark import Engine, GenSpec, generate_world, write_world
+    from scylla_cdc_java_spark.model import EngineConfig
+    from scylla_cdc_java_spark.oracle import final_state, replay
+
+    spec = GenSpec(seed=61, n_events=1200, n_repos=15, paths_per_repo=6,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=120_000)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/rb_world")
+    eng = Engine(spark, info["log_dir"], info["generations_path"],
+                 f"{tmp_root}/rb_target",
+                 cfg=EngineConfig(window_length_limit_ms=30_000))
+    stats = eng.replay()
+    assert stats.windows >= 4
+    want = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in final_state(replay(world["events"]))
+    )
+
+    def cur():
+        return sorted(
+            (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+            for r in eng.sink.read().collect()
+        )
+
+    assert cur() == want
+    snaps = eng.sink.snapshots()
+    mid = snaps[len(snaps) // 2]
+    mid_state = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in eng.sink.read(version=mid).collect()
+    )
+    assert mid_state != want  # rolling back to a genuinely earlier point
+
+    eng.sink.rollback(mid)
+    assert cur() == mid_state
+    ck = eng.sink.checkpoint()
+    assert ck is not None and not ck.get("done")
+
+    # a fresh engine resumes from the restored checkpoint and
+    # re-applies the suffix — exactly-once under LWW
+    eng2 = Engine(spark, info["log_dir"], info["generations_path"],
+                  f"{tmp_root}/rb_target",
+                  cfg=EngineConfig(window_length_limit_ms=30_000))
+    s2 = eng2.replay()
+    assert s2.windows > 0
+    assert sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in eng2.sink.read().collect()
+    ) == want
