@@ -288,3 +288,26 @@ def test_idle_tail_poll_runs_zero_spark_jobs(spark, tmp_root):
     assert s2 is not None and s2.get("skipped") and s2["rows"] == 0
     ids = sc.statusTracker().getJobIdsForGroup("idle_probe")
     assert list(ids) == [], ids
+
+
+@pytest.mark.parametrize("kw", [
+    {"num_buckets": 1},
+    {"compact_threshold": 1},        # copy-on-write degenerate mode
+    {"salt_buckets": 1},
+    {"num_buckets": 1, "compact_threshold": 1, "salt_buckets": 1,
+     "shuffle_partitions": 1},
+], ids=["single_bucket", "cow_threshold1", "no_salt", "all_min"])
+def test_degenerate_config_matrix(spark, tmp_root, kw):
+    """Degenerate sink/engine configs (one bucket, per-window
+    compaction, no salt, everything minimal) must still replay to the
+    exact oracle state — no divide-by-zero/empty-partition corners."""
+    spec = GenSpec(seed=888, n_events=2000, n_repos=15, paths_per_repo=6,
+                   n_generations=2, gen_span_ms=90_000, p_range_delete=0.06)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/cfg_world")
+    tag = "_".join(f"{k}{v}" for k, v in kw.items())
+    eng = Engine(spark, info["log_dir"], info["generations_path"],
+                 f"{tmp_root}/cfg_target_{tag}",
+                 cfg=EngineConfig(window_length_limit_ms=30_000, **kw))
+    eng.replay()
+    _assert_matches_oracle(world, eng)
