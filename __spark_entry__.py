@@ -50,7 +50,7 @@ ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
 
 # bump when engine semantics change so entry() never reuses a target
 # materialized by an older engine version across rounds
-ENTRY_TARGET_VERSION = "r3mor2"  # merge-on-read delta sink + tomb sidecars
+ENTRY_TARGET_VERSION = "r4hm1"  # hierarchical per-bucket manifests
 
 
 # ---------------------------------------------------------------------------
@@ -404,6 +404,24 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+
+def _digest_agg(df, line):
+    """Order-independent state digest, mirroring
+    ``datapipe.golden.digest_lines``: SUM of each line's first 32
+    sha256 bits + XOR of its next 60 bits. Both aggregates are
+    commutative/associative, so Spark computes them with map-side
+    partial aggregation across all partitions — no single-reducer
+    ``collect_list`` funnel (the round-3 digest shape), hence runnable
+    at sf >= 1."""
+    h = F.sha2(line, 256)
+    return df.select(h.alias("_h")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.conv(F.substring("_h", 1, 8), 16, 10).cast("long"))
+        .alias("state_sum"),
+        F.bit_xor(F.conv(F.substring("_h", 9, 15), 16, 10).cast("long"))
+        .alias("state_xor"),
+    )
+
 def q_cdc_replay(spark, sf_dir):
     """The engine itself as a query: replay a deterministic world
     through the full engine and return a canonical digest of the final
@@ -423,12 +441,7 @@ def q_cdc_replay(spark, sf_dir):
         *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
           for c in ("commit", "lang", "content")],
     )
-    return df.select(line.alias("_l")).agg(
-        F.count("*").alias("n_rows"),
-        F.sha2(
-            F.concat_ws("\n", F.array_sort(F.collect_list("_l"))), 256
-        ).alias("state_sha"),
-    )
+    return _digest_agg(df, line)
 
 
 def q_cdc_replay_collections(spark, sf_dir):
@@ -474,12 +487,7 @@ def q_cdc_replay_collections(spark, sf_dir):
           for c in ("commit", "lang", "content")],
         F.coalesce(tags_canon, F.lit(NULL_SENTINEL)),
     )
-    return df.select(line.alias("_l")).agg(
-        F.count("*").alias("n_rows"),
-        F.sha2(
-            F.concat_ws("\n", F.array_sort(F.collect_list("_l"))), 256
-        ).alias("state_sha"),
-    )
+    return _digest_agg(df, line)
 
 
 def _entry_post_spec():
@@ -530,12 +538,7 @@ def q_cdc_replay_postimage(spark, sf_dir):
         *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
           for c in ("commit", "lang", "content")],
     )
-    return df.select(line.alias("_l")).agg(
-        F.count("*").alias("n_rows"),
-        F.sha2(
-            F.concat_ws("\n", F.array_sort(F.collect_list("_l"))), 256
-        ).alias("state_sha"),
-    )
+    return _digest_agg(df, line)
 
 
 def _entry_pre_spec():
@@ -587,16 +590,13 @@ def q_cdc_replay_preimage(spark, sf_dir):
             *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
               for c in ("commit", "lang", "content")],
         )
-        row = eng.sink.read().select(line.alias("_l")).agg(
-            F.count("*").alias("n_rows"),
-            F.sha2(
-                F.concat_ws("\n", F.array_sort(F.collect_list("_l"))), 256
-            ).alias("state_sha"),
-        ).collect()[0]  # materialized before the temp target is removed
+        row = _digest_agg(eng.sink.read(), line).collect()[0]
+        # (materialized before the temp target is removed)
         return spark.createDataFrame(
-            [(row["n_rows"], row["state_sha"],
+            [(row["n_rows"], row["state_sum"], row["state_xor"],
               int(stats.preimage_mismatches))],
-            schema="n_rows bigint, state_sha string, mismatches bigint",
+            schema="n_rows bigint, state_sum bigint, state_xor bigint, "
+                   "mismatches bigint",
         )
     finally:
         _sh.rmtree(target, ignore_errors=True)
@@ -766,25 +766,33 @@ def _golden_oracles() -> dict[str, str]:
             G.golden_neardup_lsh(sf, threshold=0.35, n_planes=4),
             ["id_a", "id_b", "cosine"], ["bigint", "bigint", "double"],
         )
-        n, sha = G.golden_cdc_digest(_entry_spec())
+        n, dsum, dxor = G.golden_cdc_digest(_entry_spec())
         out["cdc_replay"] = (
-            f"select cast({n} as bigint) as n_rows, '{sha}' as state_sha"
+            f"select cast({n} as bigint) as n_rows, "
+            f"cast({dsum} as bigint) as state_sum, "
+            f"cast({dxor} as bigint) as state_xor"
         )
         from scylla_cdc_java_spark.model import TableConfig
 
-        nc, shac = G.golden_cdc_digest(
+        nc, csum, cxor = G.golden_cdc_digest(
             _entry_coll_spec(), TableConfig(collection_columns=("tags",))
         )
         out["cdc_replay_collections"] = (
-            f"select cast({nc} as bigint) as n_rows, '{shac}' as state_sha"
+            f"select cast({nc} as bigint) as n_rows, "
+            f"cast({csum} as bigint) as state_sum, "
+            f"cast({cxor} as bigint) as state_xor"
         )
-        npo, shapo = G.golden_cdc_digest_postimage(_entry_post_spec())
+        npo, posum, poxor = G.golden_cdc_digest_postimage(_entry_post_spec())
         out["cdc_replay_postimage"] = (
-            f"select cast({npo} as bigint) as n_rows, '{shapo}' as state_sha"
+            f"select cast({npo} as bigint) as n_rows, "
+            f"cast({posum} as bigint) as state_sum, "
+            f"cast({poxor} as bigint) as state_xor"
         )
-        npr, shapr = G.golden_cdc_digest_preimage(_entry_pre_spec())
+        npr, prsum, prxor = G.golden_cdc_digest_preimage(_entry_pre_spec())
         out["cdc_replay_preimage"] = (
-            f"select cast({npr} as bigint) as n_rows, '{shapr}' as state_sha, "
+            f"select cast({npr} as bigint) as n_rows, "
+            f"cast({prsum} as bigint) as state_sum, "
+            f"cast({prxor} as bigint) as state_xor, "
             f"cast(0 as bigint) as mismatches"
         )
         out["multimodal_resize"] = _values_sql(

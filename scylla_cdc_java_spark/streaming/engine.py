@@ -207,7 +207,10 @@ class Engine:
         # key-disjoint and their targets union to the full table.
         self.group_salt = dict(group_salt) if group_salt else {}
         self._log_df = None  # lazily-created base scan, reused per window
-        self._tb_bounds_cache: dict = {}  # (gen, tb, files) -> (min_ms, max_ms)
+        # (gen, tb) -> (files_tuple, (min_ms, max_ms)|None); superseded
+        # file sets are REPLACED, not accumulated — a long-running tail
+        # appending to a bucket keeps exactly one entry per bucket
+        self._tb_bounds_cache: dict = {}
         self._gens_cache: list | None = None
         self._gens_fetched_ms: int = -(10**18)
         self.sink = ParquetMergeSink(
@@ -240,11 +243,12 @@ class Engine:
                 base, "stream_group=*", f"time_bucket={tb}", "*.parquet"))))
             if not files:
                 continue
-            key = (gstart, tb, files)
-            bounds = self._tb_bounds_cache.get(key)
-            if bounds is None:
-                bounds = _files_ms_bounds(files)
-                self._tb_bounds_cache[key] = bounds
+            key = (gstart, tb)
+            cached = self._tb_bounds_cache.get(key)
+            if cached is None or cached[0] != files:
+                cached = (files, _files_ms_bounds(files))
+                self._tb_bounds_cache[key] = cached
+            bounds = cached[1]
             if bounds is None:  # stats unavailable -> assume data
                 return True
             if bounds[0] <= end_ms and bounds[1] >= start_ms:
@@ -304,9 +308,17 @@ class Engine:
         )
 
     # ------------------------------------------------------------------
-    def replay(self, collect_group_metrics: bool = True) -> ReplayStats:
+    def replay(self, collect_group_metrics: bool = False) -> ReplayStats:
         """Consume the whole log to exhaustion (batch replay). Resumes
-        from the sink-manifest checkpoint if one exists."""
+        from the sink-manifest checkpoint if one exists.
+
+        ``collect_group_metrics=False`` (default) derives per-window row
+        metrics from the delta segment's parquet footers — the same
+        zero-extra-job path as ``_tail_step`` — so a non-empty window
+        runs exactly TWO Spark jobs (delta write + sidecar write).
+        ``True`` additionally runs a per-window ``groupBy(stream_group)
+        .count()`` job to attribute exact consumed-event counts to each
+        group's checkpoint ``rows_applied`` lineage."""
         t_start = time.time()
         stats = ReplayStats()
         gens = self.generations()
@@ -364,13 +376,24 @@ class Engine:
                 time.sleep(self.cfg.poll_idle_s * self.cfg.sleep_scale)
                 continue
 
+            # task-assignment subset: checkpoint lineage is only stamped
+            # onto groups THIS engine owns (a sharded consumer's empty
+            # windows must not claim progress for foreign groups)
+            if self.stream_groups is not None or self.group_salt:
+                mine = set(self.stream_groups or []) | set(self.group_salt)
+                owned = [g for g in lay["groups"] if g in mine]
+            else:
+                owned = lay["groups"]
+
             if not self._window_has_data(gstart, w):
                 # footer-stats pruning: the window provably holds no
                 # events — advance lineage with a manifest-only commit,
                 # zero Spark jobs (pending ranges carry over untouched;
-                # an empty window cannot close or open a range)
+                # an empty window cannot close or open a range — but a
+                # GENERATION BARRIER still drops them: range tombstones
+                # never straddle generations)
                 groups_ckpt = dict(ckpt.get("groups", {}))
-                for g in lay["groups"]:
+                for g in owned:
                     ent = groups_ckpt.get(str(g), {"rows_applied": 0})
                     ent.update({"generation": gstart, "last_ts": w.end_ts})
                     groups_ckpt[str(g)] = ent
@@ -379,7 +402,7 @@ class Engine:
                     "gen_index": gi + 1 if w.last_window else gi,
                     "last_ts": w.end_ts,
                     "groups": groups_ckpt,
-                    "pending_ranges": [
+                    "pending_ranges": [] if w.last_window else [
                         {**p, "stream_id": p["stream_id"].hex()}
                         for p in pending
                     ],
@@ -445,11 +468,6 @@ class Engine:
                 window_rows = sum(group_rows.values())
 
             groups_ckpt = dict(ckpt.get("groups", {}))
-            if self.stream_groups is not None or self.group_salt:
-                mine = set(self.stream_groups or []) | set(self.group_salt)
-                owned = [g for g in lay["groups"] if g in mine]
-            else:
-                owned = lay["groups"]
             for g in owned:
                 ent = groups_ckpt.get(str(g), {"rows_applied": 0})
                 ent.update(
@@ -466,17 +484,29 @@ class Engine:
             is_last_gen = gi + 1 >= len(gens)
             # pending_ranges omitted: merge() transports them via the
             # tombstone sidecar write and fills the checkpoint itself
-            # (one fewer Spark job per window than collecting here)
+            # (one fewer Spark job per window than collecting here).
+            # EXCEPT at a generation barrier: pending range starts never
+            # straddle generations (Worker.java:135-139 barrier) — pin
+            # [] so a crash right after the last window cannot resume
+            # with stale starts injected into the next generation, where
+            # a later END op could mis-pair into a spurious tombstone
             new_ckpt = {
                 "gen_index": gi + 1 if w.last_window else gi,
                 "last_ts": w.end_ts,
                 "groups": groups_ckpt,
                 "done": bool(w.last_window and is_last_gen),
             }
+            if w.last_window:
+                new_ckpt["pending_ranges"] = []
+                new_ckpt["pending_ends"] = []
             mstats = self.sink.merge(fold, new_ckpt)
             new_pending = mstats.get("pending_ranges", [])
             if self.cfg.extra.get("persist_slice", False):
                 slice_df.unpersist()
+            if not collect_group_metrics:
+                # applied state rows from the delta parquet footers
+                # (driver-side, no extra Spark job — _tail_step path)
+                window_rows = mstats.get("delta_rows", 0)
 
             stats.windows += 1
             stats.rows += window_rows
@@ -600,6 +630,7 @@ class Engine:
             # generation barrier: pending ranges never straddle
             # generations — pin [] so merge() does not fill it
             new_ckpt["pending_ranges"] = []
+            new_ckpt["pending_ends"] = []
         # rows-applied metric comes from the delta segment's parquet
         # footers (driver-side) — round 2 ran an extra full-scan
         # count() job per tail window just for the backoff decision

@@ -104,6 +104,9 @@ def test_compact_then_vacuum_keeps_state(spark, tmp_root):
     assert not any(segs for segs in m2["tomb_segs"].values())
 
     n_before = len(bucket_dirs(eng.sink.path))
+    eng.sink.reader_lease_s = 0  # test wants immediate reaping (the
+    # default 60 s lease protects concurrent readers; see
+    # test_time_travel.py::test_vacuum_respects_reader_lease)
     removed = eng.sink.vacuum()
     assert removed > 0
     assert len(bucket_dirs(eng.sink.path)) == n_before - removed

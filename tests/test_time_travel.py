@@ -43,7 +43,9 @@ def _state(sink, version=None):
 def test_time_travel_and_snapshot_gc(spark, tmp_root):
     table = TableConfig()
     sink = ParquetMergeSink(spark, f"{tmp_root}/tt_target", table,
-                            num_buckets=4)
+                            num_buckets=4,
+                            reader_lease_s=0)  # immediate reaping: this
+    # test asserts exact removal counts; lease safety has its own test
 
     b1 = _batch(spark, [
         {"op": OP_ROW_INSERT, "ms": 10, "seq": 0, "repo": "o/r",
@@ -93,6 +95,44 @@ def test_time_travel_and_snapshot_gc(spark, tmp_root):
     assert removed2 > 0
     assert sink.snapshots() == [v3]
     assert _state(sink) == s2
+
+
+def test_vacuum_respects_reader_lease(spark, tmp_root):
+    """Concurrent-reader safety (default posture): a lazy ``read()``
+    plan resolved BEFORE a compact+vacuum must still execute and return
+    its pinned snapshot — vacuum honors the reader lease and leaves the
+    plan's files alone. Only after the lease is dropped does vacuum
+    reap them."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/lease_target", table,
+                            num_buckets=4)  # default reader_lease_s=60
+
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_INSERT, "ms": 10, "seq": 0, "repo": "o/r",
+         "path": "a.py", "content": "v1"},
+    ]), table), {"step": 1})
+    slow_reader = sink.read()  # lazy plan: resolves + pins v1's files
+
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "o/r",
+         "path": "a.py", "content": "v2"},
+    ]), table), {"step": 2})
+    sink.compact()
+    removed_during_lease = sink.vacuum(retain_snapshots=0)
+
+    # the slow reader executes AFTER compact+vacuum and still sees the
+    # state it resolved (v1 files were leased, not deleted)
+    got = [(r["repo"], r["path"], r["content"])
+           for r in slow_reader.collect()]
+    assert got == [("o/r", "a.py", "v1")]
+    # current-state reads see the update, as always
+    assert _state(sink) == [("o/r", "a.py", "v2")]
+
+    # lease dropped -> the superseded files are reapable
+    sink.reader_lease_s = 0
+    assert sink.vacuum(retain_snapshots=0) > 0
+    assert _state(sink) == [("o/r", "a.py", "v2")]
+    assert removed_during_lease >= 0  # (vacuum itself never errored)
 
 
 def test_rollback_then_replay_reconverges(spark, tmp_root):
