@@ -880,6 +880,7 @@ class ParquetMergeSink:
 
         row_new = _staged(staging, rel_rows)
         tomb_new = _staged(tomb_staging, rel_tombs)
+        t_meta = time.time()
 
         # ---- per-bucket manifest append: O(touched buckets) driver IO,
         # independent of total table history (Iceberg manifest-list
@@ -938,6 +939,10 @@ class ParquetMergeSink:
             "delta_rows": delta_rows,
             "pending_ranges": pending_starts,
             "pending_ends": pending_ends,
+            # driver-side metadata cost of this commit (bucket-manifest
+            # appends + pending read + root rewrite) — the quantity that
+            # must stay O(touched buckets) as table history grows
+            "meta_s": time.time() - t_meta,
             "merge_s": time.time() - t0,
         }
 
