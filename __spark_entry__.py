@@ -647,6 +647,18 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_multimodal_decode_real(spark, sf_dir):
+    """REAL media decode, no stub: each doc is encoded as a
+    spec-conformant tiny RGB PNG (stdlib zlib encoder rotating all five
+    scanline filters) and decoded back through the stdlib PNG decoder
+    inside mapInPandas. The golden oracle computes the expected pixel
+    crc from the pixel recipe alone — matching it proves the container
+    parse, IDAT inflate, and filter reconstruction are byte-exact."""
+    from scylla_cdc_java_spark.datapipe import decode_real, to_png_assets
+
+    return decode_real(to_png_assets(_t(spark, sf_dir, "documents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -680,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_preimage": q_cdc_replay_preimage,
         "ann_recall": q_ann_recall,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_decode_real": q_multimodal_decode_real,
     }
 
 
@@ -798,6 +811,11 @@ def _golden_oracles() -> dict[str, str]:
         out["multimodal_resize"] = _values_sql(
             G.golden_resize(sf),
             ["doc_id", "width", "height", "n_bytes", "asset_crc"],
+            ["bigint", "int", "int", "int", "bigint"],
+        )
+        out["multimodal_decode_real"] = _values_sql(
+            G.golden_decode_real(sf),
+            ["doc_id", "width", "height", "n_pixels", "pixel_crc"],
             ["bigint", "int", "int", "int", "bigint"],
         )
         # ann_recall oracle: DuckDB computes exact brute-force top-5 in

@@ -18,9 +18,11 @@ from .similarity import (
 )
 from .text import doc_fingerprints, lang_id_heuristic, quality_metrics, token_counts
 from .multimodal import (
+    decode_real,
     decode_stub_metadata,
     feature_extract_stub,
     frame_sample_stub,
+    to_png_assets,
     resize_stub,
 )
 
@@ -38,8 +40,10 @@ __all__ = [
     "lang_id_heuristic",
     "quality_metrics",
     "token_counts",
+    "decode_real",
     "decode_stub_metadata",
     "feature_extract_stub",
     "frame_sample_stub",
+    "to_png_assets",
     "resize_stub",
 ]

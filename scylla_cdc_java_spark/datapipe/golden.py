@@ -415,6 +415,22 @@ def golden_resize(sf_dir: str, target_w: int = 224, target_h: int = 224
     return sorted(out)
 
 
+def golden_decode_real(sf_dir: str) -> list[tuple[int, int, int, int, int]]:
+    """(doc_id, width, height, n_pixels, pixel_crc) for the REAL PNG
+    decode entry — computed from the pixel-generation recipe ALONE
+    (datapipe.png.doc_pixels), never touching the PNG codec: the
+    distributed side must round-trip a conformant encoder AND decoder
+    (zlib inflate + all five scanline filters) to reproduce these
+    crcs byte-for-byte."""
+    from .png import doc_pixels
+
+    out = []
+    for did, text in _docs(sf_dir):
+        w, h, buf = doc_pixels(int(did), text)
+        out.append((did, w, h, len(buf), zlib.crc32(buf)))
+    return sorted(out)
+
+
 def golden_cdc_digest_preimage(spec, table=None) -> tuple[int, str]:
     """Preimage-mode digest: augment the world with op-0 PREIMAGE rows
     (sequential oracle-tracked before-images; images.with_images) and

@@ -967,7 +967,111 @@ class ParquetMergeSink:
         return stats
 
     # ------------------------------------------------------------------
-    def compact(self, buckets: list[int] | None = None) -> dict:
+    def _purge_expired(self, df: DataFrame, vcols: list[str],
+                       ccols: list[str], expire_before_ms: int) -> DataFrame:
+        """Physically drop expired/defunct state below the purge bound —
+        the lake analogue of Scylla's compaction-time expiry + tombstone
+        GC. ``expire_before_ms`` MUST be <= the consumer watermark
+        (now - late_writes_window): the justification for dropping a
+        timestamp is that no event with ts below the watermark will
+        ever arrive again, so the dropped state can no longer shadow or
+        lose to anything.
+
+        Below ``bound`` (= expire_before_ms packed):
+        - TTL-expired value cells lose value + ts + ttl;
+        - dead cell remnants (explicit-NULL writes, shadowed ts) drop;
+        - a row marker that is TTL-expired or tombstone-shadowed resets;
+        - collection element tombstones and TTL-expired elements drop;
+        - collection/row tombstones reset to NEG_INF;
+        - rows with nothing left are dropped entirely.
+        State at or above the bound is untouched, so
+        ``read(as_of_ms >= expire_before_ms)`` is unchanged."""
+        bound = expire_before_ms * (1 << SEQ_BITS)
+        E = F.lit(expire_before_ms)
+
+        def _exp(ts, ttl):
+            return ttl.isNotNull() & (
+                F.shiftright(ts, SEQ_BITS) + ttl * 1000 <= E
+            )
+
+        tomb = F.coalesce(F.col(COL_TOMB_TS), F.lit(NEG_INF))
+        for c in vcols:
+            ts, ttl = F.col(ts_col(c)), F.col(ttl_col(c))
+            gone = (ts < F.lit(bound)) & (
+                _exp(ts, ttl)             # TTL-expired value
+                | F.col(c).isNull()       # explicit-NULL / shadowed remnant
+            )
+            df = (
+                df.withColumn(f"__purge_{c}", F.coalesce(gone, F.lit(False)))
+                .withColumn(c, F.when(~F.col(f"__purge_{c}"), F.col(c)))
+                .withColumn(ts_col(c), F.when(~F.col(f"__purge_{c}"), ts))
+                .withColumn(ttl_col(c), F.when(~F.col(f"__purge_{c}"), ttl))
+                .drop(f"__purge_{c}")
+            )
+        mts = F.coalesce(F.col(COL_MARKER_TS), F.lit(NEG_INF))
+        m_gone = (mts < F.lit(bound)) & (
+            _exp(mts, F.col(COL_MARKER_TTL)) | (mts <= tomb)
+        )
+        df = (
+            df.withColumn("__purge_m", F.coalesce(m_gone, F.lit(False)))
+            .withColumn(
+                COL_MARKER_TS,
+                F.when(~F.col("__purge_m"), mts).otherwise(F.lit(NEG_INF)),
+            )
+            .withColumn(
+                COL_MARKER_TTL,
+                F.when(~F.col("__purge_m"), F.col(COL_MARKER_TTL)),
+            )
+            .drop("__purge_m")
+        )
+        for c in ccols:
+            keep = lambda k, cell: ~F.coalesce(  # noqa: E731
+                (cell["ts"] < F.lit(bound))
+                & (_exp(cell["ts"], cell["ttl"]) | cell["v"].isNull()),
+                F.lit(False),
+            )
+            kept = F.map_filter(F.coalesce(F.col(c), _empty_cells()), keep)
+            df = df.withColumn(c, F.when(F.size(kept) > 0, kept))
+            df = df.withColumn(
+                ctomb_col(c),
+                F.when(F.col(ctomb_col(c)) >= F.lit(bound),
+                       F.col(ctomb_col(c))),
+            )
+        df = df.withColumn(
+            COL_TOMB_TS,
+            F.when(tomb >= F.lit(bound), tomb).otherwise(F.lit(NEG_INF)),
+        )
+        # recompute liveness over the purged cells, then drop rows with
+        # nothing left at all (every ts purged, no surviving tombstone)
+        live_terms = [F.col(COL_MARKER_TS) > F.col(COL_TOMB_TS)]
+        keep_terms = [
+            F.col(COL_MARKER_TS) > F.lit(NEG_INF),
+            F.col(COL_TOMB_TS) > F.lit(NEG_INF),
+        ]
+        for c in vcols:
+            live_terms.append(F.col(c).isNotNull())
+            keep_terms.append(F.col(ts_col(c)).isNotNull())
+        for c in ccols:
+            live_terms.append(
+                F.exists(
+                    F.map_values(F.coalesce(F.col(c), _empty_cells())),
+                    lambda cell: cell["v"].isNotNull(),
+                )
+            )
+            keep_terms.append(F.col(c).isNotNull())
+            keep_terms.append(F.col(ctomb_col(c)).isNotNull())
+        live = live_terms[0]
+        for t in live_terms[1:]:
+            live = live | t
+        keep_row = keep_terms[0]
+        for t in keep_terms[1:]:
+            keep_row = keep_row | t
+        df = df.withColumn(COL_LIVE, F.coalesce(live, F.lit(False)))
+        return df.where(F.col(COL_LIVE) | F.coalesce(keep_row, F.lit(False)))
+
+    # ------------------------------------------------------------------
+    def compact(self, buckets: list[int] | None = None,
+                expire_before_ms: int | None = None) -> dict:
         """Collapse each selected bucket (default: every bucket with
         multiple row segments or any tombstone sidecar) to ONE resolved
         base segment, folding its accumulated sidecar tombstones into
@@ -990,6 +1094,15 @@ class ParquetMergeSink:
         if not sub["buckets"] and not any(sub["tomb_segs"].values()):
             return {"compacted": [], "compact_s": 0.0}
         resolved = self.read_physical([int(b) for b in csel])
+        if expire_before_ms is not None:
+            # compaction-time TTL expiry + tombstone GC (Scylla drops
+            # expired cells and gc-ripe tombstones when it rewrites an
+            # sstable; same moment here). Caller contract: the bound
+            # must sit at or below the consumer watermark.
+            resolved = self._purge_expired(
+                resolved, root["value_columns"], root["collection_columns"],
+                expire_before_ms,
+            )
         version = root["version"] + 1
         # base/ (vs rows/) marks a segment as FULLY RESOLVED: single-base
         # buckets with no tombstone sidecars are read raw, restoring the

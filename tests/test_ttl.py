@@ -55,6 +55,67 @@ def test_replay_with_ttl_matches_oracle_at_read_time(spark, tmp_root):
     )
 
 
+def test_compaction_time_ttl_purge_shrinks_and_stays_exact(spark, tmp_root):
+    """``compact(expire_before_ms=E)`` physically drops TTL-expired
+    cells, dead remnants, and below-watermark tombstones (Scylla's
+    compaction-time expiry + tombstone GC). The compacted table must
+    shrink on disk, and every read at or after E must still match the
+    oracle exactly (reads below E are undefined post-purge — that
+    history is gone, as with Scylla after gc_grace)."""
+    import os
+
+    spec = GenSpec(seed=23, n_events=2000, n_repos=30, paths_per_repo=8,
+                   n_generations=1, streams_per_generation=4,
+                   ttl_fraction=0.5)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/world_ttl3")
+    eng = Engine(spark, info["log_dir"], info["generations_path"],
+                 f"{tmp_root}/target_ttl3", cfg=EngineConfig())
+    eng.replay()
+    st = replay(world["events"])
+
+    def base_bytes(sink):
+        total = 0
+        for b, segs in sink.manifest()["buckets"].items():
+            for p in segs:
+                d = os.path.join(sink.path, p)
+                total += sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d) if f.endswith(".parquet")
+                )
+        return total
+
+    # compact ALL buckets once WITHOUT purge to get a fair size
+    # baseline (identical file layout on both sides of the compare)
+    all_buckets = list(range(eng.sink.num_buckets))
+    eng.sink.compact(all_buckets)
+    size_before = base_bytes(eng.sink)
+
+    # purge point: past every event and past the 60..30000 s TTL band's
+    # lower half -> a meaningful set of cells is expired at E
+    max_ms = max(world["events"]["ms"])
+    E = max_ms + 30_000_000
+    eng.sink.compact(all_buckets, expire_before_ms=E)
+    eng.sink.reader_lease_s = 0
+    eng.sink.vacuum()
+    size_after = base_bytes(eng.sink)
+    assert size_after < size_before  # expiry physically reclaimed bytes
+
+    # reads at/after the purge bound still match the oracle exactly
+    assert _rows(eng.sink.read(as_of_ms=E).collect()) == final_state(
+        st, as_of_ms=E
+    )
+    far = max_ms + 100_000_000
+    assert _rows(eng.sink.read(as_of_ms=far).collect()) == final_state(
+        st, as_of_ms=far
+    )
+
+    # idempotent: purging again at the same bound changes nothing
+    n1 = eng.sink.read(as_of_ms=E).count()
+    eng.sink.compact(all_buckets, expire_before_ms=E)
+    assert eng.sink.read(as_of_ms=E).count() == n1
+
+
 def test_ttl_insert_marker_expiry_unit():
     """A row created only by a TTL'd INSERT disappears once the marker
     and its cells expire; an unttl'd later UPDATE cell keeps it alive."""
