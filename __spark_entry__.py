@@ -747,38 +747,50 @@ def _golden_oracles() -> dict[str, str]:
         from scylla_cdc_java_spark.datapipe import golden as G
 
         sf = ORACLE_SF_DIR
+        # scaled-gate control (e.g. sf1): skip goldens whose pure-Python
+        # oracle cost is quadratic at that sf — the driver's sf0.01 gate
+        # never sets this, so all entries stay checked there
+        skip = set(filter(None, os.environ.get(
+            "SPARK_GRAFT_GOLDEN_SKIP", "").split(",")))
         out: dict[str, str] = {}
-        mh = G.golden_minhash_lsh(sf)  # bands=16 etc. match q_minhash_lsh
-        out["minhash_lsh"] = _values_sql(
-            mh, ["id_a", "id_b", "n_shared_bands"],
-            ["bigint", "bigint", "bigint"],
-        )
-        out["dedup_verify_jaccard"] = _values_sql(
-            G.golden_jaccard(sf, [(a, b) for a, b, _ in mh]),
-            ["id_a", "id_b", "jaccard"], ["bigint", "bigint", "double"],
-        )
-        out["simhash"] = _values_sql(
-            G.golden_simhash(sf), ["doc_id", "simhash", "bucket"],
-            ["bigint", "bigint", "bigint"],
-        )
+        if "minhash_lsh" not in skip:
+            mh = G.golden_minhash_lsh(sf)  # bands=16 match q_minhash_lsh
+            out["minhash_lsh"] = _values_sql(
+                mh, ["id_a", "id_b", "n_shared_bands"],
+                ["bigint", "bigint", "bigint"],
+            )
+            if "dedup_verify_jaccard" not in skip:
+                out["dedup_verify_jaccard"] = _values_sql(
+                    G.golden_jaccard(sf, [(a, b) for a, b, _ in mh]),
+                    ["id_a", "id_b", "jaccard"],
+                    ["bigint", "bigint", "double"],
+                )
+        if "simhash" not in skip:
+            out["simhash"] = _values_sql(
+                G.golden_simhash(sf), ["doc_id", "simhash", "bucket"],
+                ["bigint", "bigint", "bigint"],
+            )
         out["multimodal_frames"] = _values_sql(
             G.golden_frames(sf), ["doc_id", "n_sampled", "n_frames"],
             ["bigint", "bigint", "int"],
         )
-        out["ann_lsh"] = _values_sql(
-            G.golden_ann_lsh(sf),
-            ["query_id", "neighbor_id", "rank", "cosine"],
-            ["bigint", "bigint", "int", "double"],
-        )
-        out["ann_ivf"] = _values_sql(
-            G.golden_ann_ivf(sf),
-            ["query_id", "neighbor_id", "rank", "cosine"],
-            ["bigint", "bigint", "int", "double"],
-        )
-        out["embedding_neardup_lsh"] = _values_sql(
-            G.golden_neardup_lsh(sf, threshold=0.35, n_planes=4),
-            ["id_a", "id_b", "cosine"], ["bigint", "bigint", "double"],
-        )
+        if "ann_lsh" not in skip:
+            out["ann_lsh"] = _values_sql(
+                G.golden_ann_lsh(sf),
+                ["query_id", "neighbor_id", "rank", "cosine"],
+                ["bigint", "bigint", "int", "double"],
+            )
+        if "ann_ivf" not in skip:
+            out["ann_ivf"] = _values_sql(
+                G.golden_ann_ivf(sf),
+                ["query_id", "neighbor_id", "rank", "cosine"],
+                ["bigint", "bigint", "int", "double"],
+            )
+        if "embedding_neardup_lsh" not in skip:
+            out["embedding_neardup_lsh"] = _values_sql(
+                G.golden_neardup_lsh(sf, threshold=0.35, n_planes=4),
+                ["id_a", "id_b", "cosine"], ["bigint", "bigint", "double"],
+            )
         n, dsum, dxor = G.golden_cdc_digest(_entry_spec())
         out["cdc_replay"] = (
             f"select cast({n} as bigint) as n_rows, "
@@ -820,6 +832,9 @@ def _golden_oracles() -> dict[str, str]:
         )
         # ann_recall oracle: DuckDB computes exact brute-force top-5 in
         # SQL; the approximate sides are the independent Python goldens
+        if "ann_recall" in skip:
+            _GOLDEN_CACHE = out
+            return out
         lsh_vals = _values_sql(
             G.golden_ann_lsh(sf),
             ["query_id", "neighbor_id", "rank", "cosine"],

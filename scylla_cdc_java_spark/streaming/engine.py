@@ -68,7 +68,8 @@ class ReplayStats:
         return self.rows / self.wall_s if self.wall_s > 0 else 0.0
 
 
-def _log_layout(log_dir: str) -> dict[int, dict]:
+def _log_layout(log_dir: str, min_generation: int | None = None
+                ) -> dict[int, dict]:
     """Driver-side partition-dir listing: per generation, the stream
     groups present, the max time bucket, and the exact max event ms from
     PARQUET FOOTER STATISTICS of the last bucket's files. Pure metadata
@@ -77,10 +78,18 @@ def _log_layout(log_dir: str) -> dict[int, dict]:
     service, e.g. Iceberg manifests' per-file column bounds). The exact
     bound lets replay close a generation at its true last event instead
     of padding the tail with up to time_bucket/window_cap empty
-    microbatch windows."""
+    microbatch windows.
+
+    ``min_generation`` makes the listing incremental on resume: fully
+    drained generations (below the checkpoint) are skipped entirely —
+    a long-lived log's dead history costs no directory walks."""
     out: dict[int, dict] = {}
     for gdir in glob.glob(os.path.join(glob.escape(log_dir), "generation=*")):
         g = int(gdir.rsplit("=", 1)[1])
+        if min_generation is not None and g < min_generation:
+            out[g] = {"groups": [], "max_time_bucket": 0, "max_ms": None,
+                      "skipped_listing": True}
+            continue
         groups = set()
         max_tb = -1
         tb_dirs: dict[int, list[str]] = {}
@@ -322,7 +331,6 @@ class Engine:
         t_start = time.time()
         stats = ReplayStats()
         gens = self.generations()
-        layout = _log_layout(self.log_dir)
 
         ckpt = self.sink.checkpoint() or {
             "gen_index": 0,
@@ -334,6 +342,13 @@ class Engine:
         if ckpt.get("done"):
             stats.wall_s = time.time() - t_start
             return stats
+        # incremental listing: generations below the checkpoint are
+        # drained — skip their directory walks and footer reads
+        resume_gen = (
+            gens[ckpt["gen_index"]][0]
+            if ckpt["gen_index"] < len(gens) else None
+        )
+        layout = _log_layout(self.log_dir, min_generation=resume_gen)
 
         gi = ckpt["gen_index"]
         last_ts = ckpt["last_ts"]
