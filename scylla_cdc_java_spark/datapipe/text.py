@@ -89,22 +89,43 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text",
     distinct kept hash — so the result is a flat relation (joinable,
     SQL-oracle-checkable; an array column would also break value-level
     comparison downstream)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    # window-shingle hashes; for n < window the single position 1 covers
-    # the whole document (slice clamps at the array end)
-    wh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
-    )
-    nblocks = F.ceil(F.size(wh) / F.lit(float(window))).cast("int")
-    blocks = F.transform(
-        F.sequence(F.lit(0), nblocks - F.lit(1)),
-        lambda b: F.array_min(F.slice(wh, b * window + 1, window)),
-    )
-    return (
+    # SCALE NOTE: expressions referenced inside a higher-order-function
+    # lambda are re-evaluated PER ELEMENT — the round-3 shape computed
+    # split() and the full shingle-hash array inside the lambdas, going
+    # O(n_tokens^2) per document (measured: the sf1 gate timed out on
+    # exactly this query). Materialize tokens as a real column
+    # (attribute references are cheap per element) and compute each
+    # shingle hash exactly once by partitioning positions by block.
+    base = (
         docs.where(F.length(F.trim(F.col(text_col))) > 0)
         .select(
+            id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+        )
+        .withColumn(
+            "_maxpos",
+            F.greatest(F.size("_toks") - F.lit(window - 1), F.lit(1)),
+        )
+    )
+    toks, maxpos = F.col("_toks"), F.col("_maxpos")
+    nblocks = F.ceil(maxpos / F.lit(float(window))).cast("int")
+    # block b owns shingle positions [b*window+1, min((b+1)*window,
+    # maxpos)] — disjoint cover, so every shingle is hashed ONCE; for
+    # n < window the single position 1 covers the whole document (slice
+    # clamps at the array end)
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblocks - F.lit(1)),
+        lambda b: F.array_min(
+            F.transform(
+                F.sequence(
+                    b * window + F.lit(1),
+                    F.least((b + F.lit(1)) * window, maxpos),
+                ),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+            )
+        ),
+    )
+    return (
+        base.select(
             id_col,
             F.explode(F.array_distinct(blocks)).alias("fingerprint"),
         )
