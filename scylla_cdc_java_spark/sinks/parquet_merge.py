@@ -150,7 +150,7 @@ class ParquetMergeSink:
         snapshot_retention: int | None = None,
         reader_lease_s: float = 60.0,
         broadcast_tomb_limit: int = 1_000_000,
-        tomb_rows_compact_threshold: int = 250_000,
+        tomb_rows_compact_threshold: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -172,9 +172,15 @@ class ParquetMergeSink:
         # the driver's broadcast memory)
         self.broadcast_tomb_limit = broadcast_tomb_limit
         # force-compact a bucket once its accumulated sidecar rows cross
-        # this bound (keeps the common broadcast path small even when
-        # the segment-count threshold hasn't been reached)
-        self.tomb_rows_compact_threshold = tomb_rows_compact_threshold
+        # this bound. Default = broadcast_tomb_limit: compaction fires
+        # exactly when the read path would otherwise be pushed off its
+        # broadcast plan — no earlier (a lower default force-compacted
+        # mid-replay on ordinary tombstone-heavy windows and cost ~30%
+        # of bench throughput, measured round 4)
+        self.tomb_rows_compact_threshold = (
+            tomb_rows_compact_threshold if tomb_rows_compact_threshold
+            is not None else broadcast_tomb_limit
+        )
         self._bmeta_cache: dict[str, dict] = {}
         # a bucket is compacted back to ONE base segment when its
         # segment count reaches this (amortizes the bucket rewrite over

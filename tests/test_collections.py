@@ -280,3 +280,28 @@ def test_collection_preimage_detects_corruption(spark, tmp_root):
     )
     stats = eng.replay()
     assert stats.preimage_mismatches >= corrupted
+
+
+def test_collection_purge_at_compaction_stays_exact(spark, tmp_root):
+    """compact(expire_before_ms=E) on a collections world: expired
+    elements, element tombstones, and collection tombstones below the
+    bound are physically dropped; reads at/after E stay oracle-exact."""
+    spec = GenSpec(seed=32, n_events=2500, n_repos=30, paths_per_repo=8,
+                   n_generations=2, streams_per_generation=8,
+                   gen_span_ms=60_000, with_collections=True,
+                   ttl_fraction=0.3)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/world_collp")
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"],
+        f"{tmp_root}/target_collp", table=TAGS_TABLE,
+        cfg=EngineConfig(window_length_limit_ms=60_000),
+    )
+    eng.replay()
+    st = replay(world["events"], table=TAGS_TABLE)
+    E = max(world["events"]["ms"]) + 30_000_000
+    eng.sink.compact(list(range(eng.sink.num_buckets)), expire_before_ms=E)
+    assert _engine_rows(eng.sink, as_of_ms=E) == _oracle_rows(st, as_of_ms=E)
+    far = E + 70_000_000
+    assert _engine_rows(eng.sink, as_of_ms=far) == _oracle_rows(
+        st, as_of_ms=far)
