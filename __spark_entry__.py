@@ -659,6 +659,26 @@ def q_multimodal_decode_real(spark, sf_dir):
     return decode_real(to_png_assets(_t(spark, sf_dir, "documents")))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """The full dedup retention pipeline: MinHash-LSH candidates ->
+    exact jaccard verification (>= 0.5) -> connected components by
+    iterative min-label propagation -> canonical keep decision. The
+    oracle is an independent sequential union-find over the same
+    verified pairs (golden_dedup_clusters)."""
+    from scylla_cdc_java_spark.datapipe import (
+        dedup_keep_list,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, bands=16).select("id_a", "id_b")
+    verified = ngram_jaccard_pairs(docs, cand).where(
+        F.col("jaccard") >= 0.5
+    ).select("id_a", "id_b")
+    return dedup_keep_list(verified)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -693,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_decode_real": q_multimodal_decode_real,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -825,6 +846,12 @@ def _golden_oracles() -> dict[str, str]:
             ["doc_id", "width", "height", "n_bytes", "asset_crc"],
             ["bigint", "int", "int", "int", "bigint"],
         )
+        if "dedup_clusters" not in skip:
+            out["dedup_clusters"] = _values_sql(
+                G.golden_dedup_clusters(sf, jaccard_threshold=0.5),
+                ["doc_id", "cluster_id", "keep"],
+                ["bigint", "bigint", "boolean"],
+            )
         out["multimodal_decode_real"] = _values_sql(
             G.golden_decode_real(sf),
             ["doc_id", "width", "height", "n_pixels", "pixel_crc"],

@@ -8,7 +8,14 @@ whole-stage codegen) or Arrow-batched pandas UDFs over numpy — never
 per-row Python.
 """
 
-from .dedup import exact_dedup_groups, minhash_lsh_candidates, ngram_jaccard_pairs, simhash_buckets
+from .dedup import (
+    dedup_clusters,
+    dedup_keep_list,
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
 from .similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -28,6 +35,8 @@ from .multimodal import (
 
 __all__ = [
     "exact_dedup_groups",
+    "dedup_clusters",
+    "dedup_keep_list",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_buckets",

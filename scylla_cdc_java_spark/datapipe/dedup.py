@@ -252,3 +252,92 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
             F.when(u > 0, i / u).otherwise(F.lit(0.0)).alias("jaccard"),
         )
     )
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 12) -> DataFrame:
+    """Connected components over verified duplicate PAIRS -> one
+    ``(doc_id, cluster_id)`` row per doc appearing in any pair, where
+    ``cluster_id`` is the smallest doc id in the component. This is the
+    step an actual dedup pipeline needs between candidate pairs and
+    "keep one per group": near-dup similarity is not transitive at the
+    pair level, but retention policy is applied per connected component
+    (the standard web-dedup construction).
+
+    Algorithm: iterative min-label propagation (hash-min). Each round is
+    one shuffle join + map-side-combinable ``min`` aggregation over the
+    symmetrized edge list; lineage is truncated per round with
+    ``localCheckpoint`` (an iterative algorithm would otherwise compound
+    the query plan). Rounds needed = component diameter — tiny for
+    near-dup clusters (pairs come from banded LSH, so components are
+    dense); the loop early-stops on the first round with zero label
+    changes (one count() action per round — the intrinsic cost of an
+    iterative fixpoint, same structure GraphX/GraphFrames uses) and
+    RAISES if ``max_iter`` rounds pass without convergence — a silently
+    truncated fixpoint would return wrong clusters. Min-label needs
+    ~diameter rounds (one hop per round); for adversarial long-chain
+    graphs raise ``max_iter`` or switch to the large-star/small-star
+    contraction, which converges in O(log n) rounds.
+
+    Driver holds only loop control — labels live in DataFrames
+    throughout; scales with the edge list.
+    """
+    edges_one = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    edges = edges_one.unionByName(
+        edges_one.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — component diameter "
+            f"exceeds max_iter; raise it or use star-contraction"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_keep_list(pairs: DataFrame, id_a: str = "id_a",
+                    id_b: str = "id_b") -> DataFrame:
+    """Retention decision per connected component: ``(doc_id,
+    cluster_id, keep)`` with ``keep`` true only for the smallest doc id
+    of its cluster (deterministic canonical representative — the policy
+    both the exact-dedup operator and the golden oracle use)."""
+    cl = dedup_clusters(pairs, id_a, id_b)
+    return cl.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -453,3 +453,40 @@ def golden_cdc_digest_preimage(spec, table=None) -> tuple[int, str]:
         rows, value_cols=table.value_columns + table.collection_columns
     )
     return (len(rows), *digest_lines(lines))
+
+
+def golden_dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5
+                          ) -> list[tuple[int, int, bool]]:
+    """(doc_id, cluster_id, keep) for the connected-components dedup
+    stage — INDEPENDENT implementation: plain union-find over the
+    jaccard-verified candidate pairs (golden_minhash_lsh +
+    golden_jaccard, both already independently computed), cluster id =
+    smallest member, keep = (doc == cluster id). Verifies the
+    distributed min-label-propagation fixpoint against a ten-line
+    sequential algorithm."""
+    mh = golden_minhash_lsh(sf_dir)
+    verified = [
+        (a, b) for (a, b, j) in golden_jaccard(sf_dir, [(a, b) for a, b, _ in mh])
+        if j >= jaccard_threshold
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+    out = []
+    for root, ms in members.items():
+        lo = min(ms)
+        for m in ms:
+            out.append((m, lo, m == lo))
+    return sorted(out)

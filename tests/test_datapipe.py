@@ -195,3 +195,45 @@ def test_multimodal_resize_and_frames_and_features(spark, docs):
     ft = feature_extract_stub(assets).collect()
     assert all(len(r["features"]) == 16 for r in ft)
     assert all(abs(sum(r["features"]) - 1.0) < 1e-3 for r in ft)
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Min-label propagation must find true connected components:
+    a 4-chain (non-transitive pairs), a triangle, an isolated pair —
+    cluster id = min member, keep only the canonical doc."""
+    from scylla_cdc_java_spark.datapipe import dedup_clusters, dedup_keep_list
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain: {1,2,3,4}
+         (10, 11), (11, 12), (10, 12),    # triangle: {10,11,12}
+         (20, 21)],                       # pair: {20,21}
+        schema="id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+    keep = {
+        r["doc_id"]: r["keep"] for r in dedup_keep_list(pairs).collect()
+    }
+    assert [d for d, k in sorted(keep.items()) if k] == [1, 10, 20]
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 30-node path is the adversarial diameter case: min-label moves
+    one hop per round, so it needs ~30 rounds — convergence with a
+    generous max_iter must be exact, and an INSUFFICIENT max_iter must
+    raise rather than silently return truncated (wrong) clusters."""
+    import pytest as _pytest
+
+    from scylla_cdc_java_spark.datapipe import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], schema="id_a long, id_b long"
+    )
+    got = dedup_clusters(pairs, max_iter=40).collect()
+    assert all(r["cluster_id"] == 0 for r in got) and len(got) == 31
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iter=3)
