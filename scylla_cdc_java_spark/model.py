@@ -245,5 +245,19 @@ class EngineConfig:
     # delta segments (amortized bucket-rewrite cost = 1/compact_threshold
     # per window); 1 = copy-on-write per window
     compact_threshold: int = 8
+    # Opt-in adaptive window split: cap a fetch window's ESTIMATED event
+    # count (parquet-footer row counts, proportional ms-overlap) in
+    # addition to the reference's time cap. The epoch-0 backfill window
+    # is exempt from the time cap by protocol
+    # (FetchingWindowFactory.java:45), so first catch-up on a 10^10-event
+    # backlog folds one table-sized slice: Spark's sort shuffle handles
+    # that (it spills), but a single task failure retries the whole
+    # backfill and no checkpoint lands until it finishes. The cap bounds
+    # retry cost and checkpoint granularity — it is NOT a throughput
+    # optimization: interleaved A/B on the 108 M-event world (BASELINE.md
+    # round 4) measured capped-at-25M ~1.6x SLOWER than uncapped at
+    # local[16] (fixed per-window cost × 3x windows), so it stays off by
+    # default and the protocol's window shape is preserved.
+    max_window_rows: int | None = None
     mode: str = "delta"  # delta | postimage | preimage (Main.java:563-598)
     extra: dict = field(default_factory=dict)

@@ -49,7 +49,10 @@ from ..model import (
     TableConfig,
 )
 from ..operators.fold import fold_batch, normalize_log
-from ..plans.windows import EPOCH_START, FetchingWindow, NotReady, compute_fetching_window
+from ..plans.windows import (
+    EPOCH_START, FetchingWindow, NotReady, _pack_ms_bound,
+    compute_fetching_window,
+)
 from ..sinks.parquet_merge import ParquetMergeSink
 
 
@@ -140,6 +143,37 @@ def _files_ms_bounds(files) -> tuple[int, int] | None:
     return lo, hi
 
 
+def _file_ms_rows(path: str) -> tuple[int, int, int] | None:
+    """(min_ms, max_ms, num_rows) of one parquet file from its footer —
+    driver-side statistics read, no data pages touched. None when the
+    footer lacks usable `cdc$time.ms` min/max."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    if not md.num_row_groups:
+        return None
+    idx = next(
+        (i for i in range(md.num_columns)
+         if md.row_group(0).column(i).path_in_schema == "cdc$time.ms"),
+        None,
+    )
+    if idx is None:
+        return None
+    lo = hi = None
+    for gi in range(md.num_row_groups):
+        st = md.row_group(gi).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi, md.num_rows
+
+
 def _footer_max_ms(dirs) -> int | None:
     """Max of the `cdc$time.ms` column over the given dirs' parquet
     footers (driver-side statistics read, no data pages touched)."""
@@ -220,6 +254,9 @@ class Engine:
         # file sets are REPLACED, not accumulated — a long-running tail
         # appending to a bucket keeps exactly one entry per bucket
         self._tb_bounds_cache: dict = {}
+        # path -> (min_ms, max_ms, rows) | None from parquet footers;
+        # log files are write-once, so entries never go stale
+        self._file_stats_cache: dict = {}
         self._gens_cache: list | None = None
         self._gens_fetched_ms: int = -(10**18)
         self.sink = ParquetMergeSink(
@@ -263,6 +300,92 @@ class Engine:
             if bounds[0] <= end_ms and bounds[1] >= start_ms:
                 return True
         return False
+
+    # ------------------------------------------------------------------
+    def _window_file_stats(self, gstart: int, start_ms: int,
+                           end_ms: int) -> list | None:
+        """Footer stats ``(min_ms, max_ms, rows)`` of every log file that
+        could hold events in ``[start_ms, end_ms)``: one listing of the
+        generation's actual ``time_bucket=`` dirs (never an iteration
+        over the numeric bucket range — an epoch-0 backfill window spans
+        millions of bucket ids but only the existing dirs matter),
+        filtered to the overlapping buckets, stats cached per write-once
+        file. None when any candidate file lacks usable stats."""
+        base = os.path.join(glob.escape(self.log_dir), f"generation={gstart}")
+        lo_tb = start_ms // self.time_bucket_ms
+        hi_tb = (end_ms - 1) // self.time_bucket_ms
+        if self.stream_groups is not None:
+            mine = set(self.stream_groups) | set(self.group_salt)
+            sg_dirs = [f"stream_group={g}" for g in sorted(mine)]
+        else:
+            sg_dirs = ["stream_group=*"]
+        out = []
+        for sg in sg_dirs:
+            for tbdir in glob.glob(os.path.join(base, sg, "time_bucket=*")):
+                tb = int(tbdir.rsplit("=", 1)[1])
+                if tb < lo_tb or tb > hi_tb:
+                    continue
+                for f in glob.glob(os.path.join(glob.escape(tbdir),
+                                                "*.parquet")):
+                    st = self._file_stats_cache.get(f)
+                    if f not in self._file_stats_cache:
+                        st = _file_ms_rows(f)
+                        self._file_stats_cache[f] = st
+                    if st is None:
+                        return None
+                    out.append(st)
+        return out
+
+    def _crop_window_to_rows(self, gstart: int, w: FetchingWindow
+                             ) -> FetchingWindow:
+        """Shrink a fetch window until its estimated event count fits
+        ``cfg.max_window_rows`` (binary search on the monotone
+        footer-stats estimate). Opt-in: the epoch-0 backfill window is
+        exempt from the reference's time cap by protocol
+        (FetchingWindowFactory.java:45), so a huge backlog folds as one
+        window — fine for Spark's spilling shuffle, but a crash or task
+        failure then retries the entire backfill and no checkpoint lands
+        until it completes; the row cap trades measured per-window
+        overhead (see EngineConfig.max_window_rows) for bounded retry
+        cost. A cropped window is never ``last_window``; the replay loop
+        simply chains the next window from the new bound, identical to a
+        time-cropped window."""
+        cap = self.cfg.max_window_rows
+        if not cap:
+            return w
+        start_ms = (w.start_ts + 1) // SEQ_MOD if w.start_ts != EPOCH_START else 0
+        end_ms = w.end_ts // SEQ_MOD + 1
+        stats = self._window_file_stats(gstart, start_ms, end_ms)
+        if stats is None:
+            return w  # stats unavailable — keep protocol behavior
+
+        def est(e_ms: int) -> float:
+            # uniform-density model within each file (the same assumption
+            # Iceberg/AQE make when splitting by file bounds): a file
+            # contributes rows * overlap_ms / file_span_ms
+            total = 0.0
+            for fmin, fmax, rows in stats:
+                overlap = min(e_ms - 1, fmax) - max(start_ms, fmin) + 1
+                if overlap > 0:
+                    total += rows * (overlap / (fmax - fmin + 1))
+            return total
+
+        if est(end_ms) <= cap:
+            return w
+        lo, hi = start_ms + 1, end_ms  # lo = smallest non-empty end
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if est(mid) <= cap:
+                lo = mid
+            else:
+                hi = mid
+        new_end = _pack_ms_bound(lo)
+        if new_end <= w.start_ts:  # 1 ms of data alone exceeds the cap
+            return w
+        if new_end >= w.end_ts:
+            return w
+        return FetchingWindow(start_ts=w.start_ts, end_ts=new_end,
+                              last_window=False, cropped=True)
 
     # ------------------------------------------------------------------
     def generations(self) -> list[tuple[int, list[bytes]]]:
@@ -377,14 +500,13 @@ class Engine:
                 self.clock() if self.clock else gen_end_ms + self.cfg.late_writes_window_ms + 1
             )
 
-            from ..plans.windows import _pack_ms_bound
-
             if _pack_ms_bound(gen_end_ms) <= last_ts:
                 gi += 1  # generation already drained (resume edge)
                 continue
 
             try:
                 w = compute_fetching_window(last_ts, gen_end_ms, now_ms, self.cfg)
+                w = self._crop_window_to_rows(gstart, w)
             except NotReady:
                 if self.clock is None:
                     raise  # cannot happen in replay mode
@@ -615,6 +737,7 @@ class Engine:
             w = compute_fetching_window(
                 ckpt["last_ts"], gen_end_ms, self.clock(), self.cfg
             )
+            w = self._crop_window_to_rows(gstart, w)
         except NotReady:
             return None
         if not self._window_has_data(gstart, w):

@@ -311,3 +311,67 @@ def test_degenerate_config_matrix(spark, tmp_root, kw):
                  cfg=EngineConfig(window_length_limit_ms=30_000, **kw))
     eng.replay()
     _assert_matches_oracle(world, eng)
+
+
+def test_row_capped_window_split(spark, tmp_root):
+    """Adaptive window split by estimated event count: the epoch-0
+    backfill window is exempt from the reference's TIME cap by protocol
+    (FetchingWindowFactory.java:45), so only the row cap bounds first
+    catch-up on a large backlog. A 3000-event single-generation world
+    with max_window_rows=400 must chain through many sub-windows —
+    including splitting the cap-exempt backfill window — and the final
+    state must still be oracle-exact. Control: the same world uncapped
+    replays in a single window."""
+    spec = GenSpec(seed=21, n_events=3000, n_repos=30, paths_per_repo=8,
+                   n_generations=1, streams_per_generation=4,
+                   gen_span_ms=120_000, p_range_delete=0.05)
+    cfg = EngineConfig(window_length_limit_ms=600_000, max_window_rows=400)
+    world, eng, stats = _run_world(spark, tmp_root, spec, "rowcap", cfg)
+    assert stats.windows >= 5, stats.windows  # really split
+    _assert_matches_oracle(world, eng)
+
+    cfg0 = EngineConfig(window_length_limit_ms=600_000, max_window_rows=None)
+    world0, eng0, stats0 = _run_world(spark, tmp_root, spec, "rowcap0", cfg0)
+    assert stats0.windows == 1, stats0.windows  # epoch-0 exemption intact
+    _assert_matches_oracle(world0, eng0)
+
+
+def test_row_capped_split_crash_resume(spark, tmp_root):
+    """Checkpoint chaining across row-capped sub-windows: abandon the
+    replay after the first sub-window commit (fresh Engine, same
+    target), resume, and the final state must match the oracle."""
+    spec = GenSpec(seed=22, n_events=2000, n_repos=20, paths_per_repo=6,
+                   n_generations=1, streams_per_generation=4,
+                   gen_span_ms=90_000)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/rowcap_cr_world")
+    cfg = EngineConfig(window_length_limit_ms=600_000, max_window_rows=500)
+    target = f"{tmp_root}/rowcap_cr_target"
+
+    class _Stop(Exception):
+        pass
+
+    eng1 = Engine(spark, info["log_dir"], info["generations_path"],
+                  target, cfg=cfg)
+    orig = eng1.sink.merge
+    calls = [0]
+
+    def bomb(fold, ckpt=None, **kw):
+        st = orig(fold, ckpt, **kw)
+        calls[0] += 1
+        if calls[0] == 1:  # crash AFTER the first sub-window committed
+            raise _Stop()
+        return st
+
+    eng1.sink.merge = bomb
+    try:
+        eng1.replay()
+    except _Stop:
+        pass
+    assert not (eng1.sink.checkpoint() or {}).get("done")
+
+    eng2 = Engine(spark, info["log_dir"], info["generations_path"],
+                  target, cfg=cfg)
+    stats2 = eng2.replay()
+    assert stats2.windows >= 1
+    _assert_matches_oracle(world, eng2)
