@@ -50,9 +50,27 @@ Layout (hierarchical, Iceberg manifest-list shape)::
                           time travel; ``vacuum(retain_snapshots=K)``
                           bounds history; checkpoint-only commits skip
                           the snapshot so idle polls don't accumulate)
-      data/v<version>/rows/__bucket=<bid>/*.parquet
-      data/v<version>/tombs/__bucket=<bid>/*.parquet
-      data/v<version>/base/__bucket=<bid>/*.parquet   (compacted)
+      data/v<ver>-<token>/rows/__bucket=<bid>/*.parquet
+      data/v<ver>-<token>/tombs/__bucket=<bid>/*.parquet
+      data/v<ver>-<token>/base/__bucket=<bid>/*.parquet   (compacted;
+                          <ver> is the PLANNED version — informational
+                          only, manifests store real paths — and the
+                          token keeps concurrent stagers apart)
+      COMMIT.lock         (transient: cross-process commit mutex)
+
+Commits are serializable across processes: heavy Spark output stages
+OUTSIDE the lock, then the commit critical section (read current root
+-> rebase this commit's metadata onto it -> atomic pointer swap) runs
+under ``COMMIT.lock``. ``merge()`` rebases by appending its staged
+segments to whatever each bucket's CURRENT entry is; ``compact()``
+rebases by replacing exactly the segments it resolved and keeping any
+appended since (sound because segment resolution is timestamp-LWW,
+order-independent), skipping buckets another compactor superseded. An
+external maintenance process (``tools/compactor.py``,
+``ParquetMergeSink.for_existing``) can therefore compact and vacuum
+a live writer's table concurrently — vacuum then needs
+``staging_grace_s`` so freshly staged, not-yet-committed output is
+never reaped.
 
 Buckets are ``pmod(xxhash64(partition key...), num_buckets)`` — all
 partition-key columns participate (composite keys hash and join on every
@@ -85,6 +103,7 @@ idempotent under batch replay and under duplicate delta segments
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
@@ -151,6 +170,7 @@ class ParquetMergeSink:
         reader_lease_s: float = 60.0,
         broadcast_tomb_limit: int = 1_000_000,
         tomb_rows_compact_threshold: int | None = None,
+        lock_timeout_s: float = 60.0,
     ):
         self.spark = spark
         self.path = path
@@ -181,6 +201,11 @@ class ParquetMergeSink:
             tomb_rows_compact_threshold if tomb_rows_compact_threshold
             is not None else broadcast_tomb_limit
         )
+        # commit critical sections (read root -> rebase metadata -> swap
+        # pointer) serialize across PROCESSES via a lockfile, enabling
+        # an external maintenance compactor against a live writer; a
+        # lock older than this is presumed crashed and broken
+        self.lock_timeout_s = lock_timeout_s
         self._bmeta_cache: dict[str, dict] = {}
         # a bucket is compacted back to ONE base segment when its
         # segment count reaches this (amortizes the bucket rewrite over
@@ -189,12 +214,106 @@ class ParquetMergeSink:
         self.compact_threshold = max(int(compact_threshold), 1)
         os.makedirs(path, exist_ok=True)
 
+    @classmethod
+    def for_existing(cls, spark: SparkSession, path: str,
+                     **kwargs) -> "ParquetMergeSink":
+        """Open an EXISTING table self-configured from its manifest —
+        the entry point for external maintenance processes (compactor /
+        vacuum loops) that must match the writer's table identity:
+        bucket routing (partition key + num_buckets) baked into the
+        manifest by the writer's first commit MUST match or compaction
+        would misplace rows. Extra kwargs override tuning knobs only."""
+        mpath = os.path.join(path, "MANIFEST.json")
+        with open(mpath) as f:  # loud if the table doesn't exist yet
+            root = json.load(f)
+        tmeta = root.get("table")
+        if tmeta is None:
+            raise ValueError(
+                f"{mpath} predates table-identity metadata; pass an "
+                f"explicit TableConfig to ParquetMergeSink(...) instead"
+            )
+        table = TableConfig(
+            name=tmeta["name"],
+            partition_key=tuple(tmeta["partition_key"]),
+            clustering_key=tuple(tmeta["clustering_key"]),
+            value_columns=tuple(
+                c for c in root.get("value_columns", ())
+            ),
+            collection_columns=tuple(root.get("collection_columns", ())),
+        )
+        kwargs.setdefault("num_buckets", root.get("num_buckets", 32))
+        kwargs.setdefault("salt_buckets", root.get("salt_buckets", 8))
+        return cls(spark, path, table=table, **kwargs)
+
     # ------------------------------------------------------------------
     # manifest
     # ------------------------------------------------------------------
     @property
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "MANIFEST.json")
+
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self.path, "COMMIT.lock")
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Cross-process mutual exclusion for commit critical sections.
+        ``O_CREAT|O_EXCL`` lockfile on the table dir (atomic on POSIX);
+        a lock older than ``lock_timeout_s`` is presumed left by a
+        crashed process and broken. Heavy Spark work always happens
+        BEFORE the lock — the critical section is tiny JSON IO, so a
+        live holder releases in milliseconds. On an object store this
+        role belongs to the catalog's atomic swap (Iceberg metastore /
+        DynamoDB lock); the lockfile gives the same serializable-commit
+        guarantee for shared-filesystem deployments."""
+        deadline = time.time() + self.lock_timeout_s + 10.0
+        while True:
+            try:
+                fd = os.open(self._lock_path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, json.dumps(
+                    {"pid": os.getpid(), "ts": time.time()}).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self._lock_path)
+                except OSError:
+                    continue  # released between open and stat — retry now
+                if age > self.lock_timeout_s:
+                    # crashed holder: break the lock (best-effort — if a
+                    # racer removes it first the next O_EXCL decides)
+                    with contextlib.suppress(OSError):
+                        os.remove(self._lock_path)
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"commit lock held beyond {self.lock_timeout_s}s: "
+                        f"{self._lock_path}"
+                    )
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(self._lock_path)
+
+    def _commit_under_lock(self, build, snapshot: bool = True) -> dict | None:
+        """Serializable commit: under the cross-process lock, re-read
+        the CURRENT root and let ``build(cur)`` produce the next
+        manifest against it. Optimistic writers stage their Spark
+        output first (outside the lock) and rebase only their METADATA
+        here — a concurrent commit that landed since they planned is
+        absorbed by building against ``cur``, never clobbered (the old
+        blind ``os.replace`` lost whichever commit swapped first).
+        ``build`` returns None to abort (nothing left to commit)."""
+        with self._commit_lock():
+            cur = self._load_root()
+            new = build(cur)
+            if new is not None:
+                self._commit(new, snapshot=snapshot)
+            return new
 
     def snapshots(self) -> list[int]:
         """Committed snapshot versions still on disk (oldest first)."""
@@ -664,6 +783,17 @@ class ParquetMergeSink:
         while the lease is live, so the lazy plan stays executable even
         if a compact+vacuum lands between plan and action."""
         m = self._resolve(self._load_root(version), buckets)
+        return self._read_physical_resolved(
+            m, list(m["buckets"]) if buckets is not None else None
+        )
+
+    def _read_physical_resolved(self, m: dict,
+                                bsel: list[str] | None) -> DataFrame:
+        """``read_physical`` body over an ALREADY-resolved flat manifest
+        — compaction passes the exact snapshot it will rebase against,
+        so its read set and its commit arithmetic can never disagree
+        (two separate ``_load_root`` calls could straddle a concurrent
+        commit)."""
         self._pin_files(m)
         sel = m["buckets"]
         # fast path: every selected bucket is one fully-resolved base
@@ -684,7 +814,6 @@ class ParquetMergeSink:
             parts.append(self._aggregate_segments(self._read_segments(m, multi), m))
         if single:
             parts.append(self._read_segments(m, single))
-        bsel = list(sel) if buckets is not None else None
         if not parts:
             return self._apply_tombstones(self._read_segments(m, []), m, bsel)
         phys = parts[0]
@@ -812,8 +941,12 @@ class ParquetMergeSink:
         )
 
         # ---- write the delta segment: one file per touched bucket ------
+        # staging dir carries the PLANNED version plus a unique token:
+        # commits rebase under the lock, so the final version may differ,
+        # and two processes staging concurrently must never share a dir
         version = root["version"] + 1
-        rel_rows = os.path.join("data", f"v{version}", "rows")
+        tok = uuid.uuid4().hex[:8]
+        rel_rows = os.path.join("data", f"v{version}-{tok}", "rows")
         staging = os.path.join(self.path, rel_rows)
         (
             delta.withColumn(BUCKET_COL, self._bucket_expr())
@@ -865,7 +998,7 @@ class ParquetMergeSink:
                     "hi", "hi_incl", "ts",
                 )
             )
-        rel_tombs = os.path.join("data", f"v{version}", "tombs")
+        rel_tombs = os.path.join("data", f"v{version}-{tok}", "tombs")
         tomb_staging = os.path.join(self.path, rel_tombs)
         (
             tombs.withColumn(BUCKET_COL, self._bucket_expr())
@@ -888,31 +1021,15 @@ class ParquetMergeSink:
         tomb_new = _staged(tomb_staging, rel_tombs)
         t_meta = time.time()
 
-        # ---- per-bucket manifest append: O(touched buckets) driver IO,
-        # independent of total table history (Iceberg manifest-list
-        # shape: only touched buckets get a new immutable bucket
-        # manifest file; the root rewrites pointer entries only) --------
-        new_index = dict(root["bucket_index"])
-        delta_rows = 0
-        for b in sorted(set(row_new) | set(tomb_new)):
-            prev = (
-                self._bucket_state(new_index[b]) if b in new_index
-                else {"segs": [], "tomb_segs": [], "tomb_rows": 0}
-            )
-            st = {
-                "segs": list(prev.get("segs", [])),
-                "tomb_segs": list(prev.get("tomb_segs", [])),
-                "tomb_rows": int(prev.get("tomb_rows") or 0),
-            }
-            if b in row_new:
-                st["segs"].append(row_new[b])
-                delta_rows += _parquet_rows(os.path.join(self.path, row_new[b]))
-            if b in tomb_new:
-                st["tomb_segs"].append(tomb_new[b])
-                st["tomb_rows"] += _parquet_rows(
-                    os.path.join(self.path, tomb_new[b])
-                )
-            new_index[b] = self._write_bucket_meta(b, st, version)
+        # footer row counts of the just-staged files — outside the lock
+        # (the staged files are final; only metadata rebases under it)
+        delta_rows = sum(
+            _parquet_rows(os.path.join(self.path, p)) for p in row_new.values()
+        )
+        tomb_rows_new = {
+            b: _parquet_rows(os.path.join(self.path, p))
+            for b, p in tomb_new.items()
+        }
         touched = sorted(int(b) for b in row_new)
 
         # checkpoint state transported via the sidecar: read the
@@ -931,14 +1048,55 @@ class ParquetMergeSink:
                     {**p, "stream_id": p["stream_id"].hex()}
                     for p in pending_ends
                 ]
-        new_root = {
-            "version": version,
-            "bucket_index": new_index,
-            "value_columns": value_cols,
-            "collection_columns": coll_cols,
-            "checkpoint": checkpoint,
-        }
-        self._commit(new_root)
+        # ---- commit: per-bucket manifest append under the cross-process
+        # lock — O(touched buckets) driver IO, independent of total table
+        # history (Iceberg manifest-list shape), REBASED against whatever
+        # root is current at commit time (an external compactor may have
+        # collapsed our buckets' history since we planned; appending the
+        # new delta on top of ITS entries is exactly right — segment
+        # resolution is timestamp-LWW, order-independent) ----------------
+        def _build(cur: dict) -> dict:
+            v = cur["version"] + 1
+            new_index = dict(cur["bucket_index"])
+            for b in sorted(set(row_new) | set(tomb_new)):
+                prev = (
+                    self._bucket_state(new_index[b]) if b in new_index
+                    else {"segs": [], "tomb_segs": [], "tomb_rows": 0}
+                )
+                st = {
+                    "segs": list(prev.get("segs", [])),
+                    "tomb_segs": list(prev.get("tomb_segs", [])),
+                    "tomb_rows": int(prev.get("tomb_rows") or 0),
+                }
+                if b in row_new:
+                    st["segs"].append(row_new[b])
+                if b in tomb_new:
+                    st["tomb_segs"].append(tomb_new[b])
+                    st["tomb_rows"] += tomb_rows_new[b]
+                new_index[b] = self._write_bucket_meta(b, st, v)
+            return {
+                "version": v,
+                "bucket_index": new_index,
+                "value_columns": list(dict.fromkeys(
+                    cur["value_columns"] + value_cols)),
+                "collection_columns": list(dict.fromkeys(
+                    cur["collection_columns"] + coll_cols)),
+                "checkpoint": checkpoint,
+                # table identity for external maintenance processes
+                # (ParquetMergeSink.for_existing): bucket routing MUST
+                # match the writer's or compaction misplaces rows
+                "table": {
+                    "name": tbl.name,
+                    "partition_key": list(tbl.partition_key),
+                    "clustering_key": list(tbl.clustering_key),
+                },
+                "num_buckets": self.num_buckets,
+                "salt_buckets": self.salt_buckets,
+            }
+
+        new_root = self._commit_under_lock(_build)
+        version = new_root["version"]
+        new_index = new_root["bucket_index"]
         stats = {
             "touched_buckets": touched,
             "version": version,
@@ -1099,7 +1257,13 @@ class ParquetMergeSink:
         sub = self._resolve(root, csel)
         if not sub["buckets"] and not any(sub["tomb_segs"].values()):
             return {"compacted": [], "compact_s": 0.0}
-        resolved = self.read_physical([int(b) for b in csel])
+        # pin the exact read set for the commit-time rebase: segments
+        # resolved here are REPLACED by the new base; anything appended
+        # to these buckets after this snapshot must survive the commit
+        read_segs = {b: set(s) for b, s in sub["buckets"].items()}
+        read_tombs = {b: set(s) for b, s in sub["tomb_segs"].items()}
+        read_tomb_rows = dict(sub["_tomb_rows"])
+        resolved = self._read_physical_resolved(sub, list(sub["buckets"]))
         if expire_before_ms is not None:
             # compaction-time TTL expiry + tombstone GC (Scylla drops
             # expired cells and gc-ripe tombstones when it rewrites an
@@ -1113,8 +1277,11 @@ class ParquetMergeSink:
         # base/ (vs rows/) marks a segment as FULLY RESOLVED: single-base
         # buckets with no tombstone sidecars are read raw, restoring the
         # copy-on-write read plan (stored _live filter pushdown, no
-        # aggregate, no joins)
-        rel_out = os.path.join("data", f"v{version}", "base")
+        # aggregate, no joins). Unique staging dir: the commit rebases
+        # under the lock (final version may differ) and concurrent
+        # compactors must never share a dir.
+        tok = uuid.uuid4().hex[:8]
+        rel_out = os.path.join("data", f"v{version}-{tok}", "base")
         staging = os.path.join(self.path, rel_out)
         n_parts = max(len(csel) * min(self.salt_buckets, 4), 1)
         ck_cols = [F.col(c) for c in self.table.clustering_key]
@@ -1130,28 +1297,67 @@ class ParquetMergeSink:
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
-        new_index = dict(root["bucket_index"])
-        written = set()
+        written: dict[str, str] = {}
         if os.path.exists(staging):
             for d in sorted(os.listdir(staging)):
                 if d.startswith(BUCKET_COL + "="):
-                    b = d.split("=", 1)[1]
-                    # single fully-resolved base segment; sidecars folded
-                    # into the rows and CLEARED (tombstone GC)
-                    new_index[b] = self._write_bucket_meta(
-                        b, {"segs": [os.path.join(rel_out, d)],
-                            "tomb_segs": [], "tomb_rows": 0},
-                        version,
-                    )
-                    written.add(b)
-        for b in csel:  # bucket fully emptied by resolution
-            if b not in written:
-                new_index.pop(b, None)
-        new_root = {k: v for k, v in root.items() if k != "bucket_index"}
-        new_root["version"] = version
-        new_root["bucket_index"] = new_index
-        self._commit(new_root)
-        return {"compacted": sorted(csel), "compact_s": time.time() - t0}
+                    written[d.split("=", 1)[1]] = os.path.join(rel_out, d)
+
+        # ---- commit: rebase against the CURRENT root under the lock.
+        # Per bucket, the read set is replaced by the new base; segments
+        # and sidecars a concurrent writer appended SINCE the read stay
+        # as deltas over the base (resolution is timestamp-LWW, order-
+        # independent, so base + newer deltas ≡ original history). A
+        # bucket whose read set is no longer a subset of the current
+        # entry was compacted by someone else meanwhile — ours is stale
+        # and is skipped (vacuum reaps the orphaned output). ------------
+        updated: list[str] = []
+
+        def _build(cur: dict) -> dict | None:
+            v = cur["version"] + 1
+            new_index = dict(cur["bucket_index"])
+            updated.clear()
+            for b in sorted(csel):
+                cur_e = new_index.get(b)
+                cur_st = (
+                    self._bucket_state(cur_e) if cur_e is not None
+                    else {"segs": [], "tomb_segs": [], "tomb_rows": 0}
+                )
+                cur_segs = list(cur_st.get("segs", []))
+                cur_tsegs = list(cur_st.get("tomb_segs", []))
+                r = read_segs.get(b, set())
+                t = read_tombs.get(b, set())
+                if not (r <= set(cur_segs) and t <= set(cur_tsegs)):
+                    continue  # superseded by a concurrent compaction
+                segs = ([written[b]] if b in written else []) + [
+                    s for s in cur_segs if s not in r
+                ]
+                tomb_segs = [s for s in cur_tsegs if s not in t]
+                cur_tr = (
+                    self._entry_counts(cur_e)[2] if cur_e is not None else 0
+                )
+                tomb_rows = max(0, cur_tr - int(read_tomb_rows.get(b) or 0))
+                if not segs and not tomb_segs:
+                    # fully emptied by resolution and nothing newer
+                    if cur_e is not None:
+                        new_index.pop(b, None)
+                        updated.append(b)
+                    continue
+                new_index[b] = self._write_bucket_meta(
+                    b, {"segs": segs, "tomb_segs": tomb_segs,
+                        "tomb_rows": tomb_rows}, v,
+                )
+                updated.append(b)
+            if not updated:
+                return None  # every bucket superseded — nothing to commit
+            new_root = {k: x for k, x in cur.items() if k != "bucket_index"}
+            new_root["version"] = v
+            new_root["bucket_index"] = new_index
+            return new_root
+
+        committed = self._commit_under_lock(_build)
+        done = sorted(updated) if committed else []
+        return {"compacted": done, "compact_s": time.time() - t0}
 
     # ------------------------------------------------------------------
     def rollback(self, version: int) -> dict:
@@ -1165,10 +1371,14 @@ class ParquetMergeSink:
         snapshot, so it is itself time-travelable and crash-safe. The
         snapshot's segments must still be retained (vacuum)."""
         snap = self._load_root(version=version)
-        cur = self._load_root()
-        snap["version"] = cur["version"] + 1
-        self._commit(snap)
-        return {"rolled_back_to": version, "version": snap["version"]}
+
+        def _build(cur: dict) -> dict:
+            m = dict(snap)
+            m["version"] = cur["version"] + 1
+            return m
+
+        m = self._commit_under_lock(_build)
+        return {"rolled_back_to": version, "version": m["version"]}
 
     # ------------------------------------------------------------------
     def commit_checkpoint(self, checkpoint: dict | None) -> dict:
@@ -1178,15 +1388,19 @@ class ParquetMergeSink:
         consumption lineage still moves forward exactly-once. No
         immutable snapshot is written (data is unchanged; a long-running
         idle tail would otherwise grow one snapshot file per poll)."""
-        m = self._load_root()
-        m["version"] += 1
-        m["checkpoint"] = checkpoint
-        self._commit(m, snapshot=False)
+        def _build(cur: dict) -> dict:
+            m = dict(cur)
+            m["version"] = cur["version"] + 1
+            m["checkpoint"] = checkpoint
+            return m
+
+        m = self._commit_under_lock(_build, snapshot=False)
         return {"touched_buckets": [], "version": m["version"],
                 "delta_rows": 0, "merge_s": 0.0, "skipped": True}
 
     # ------------------------------------------------------------------
-    def vacuum(self, retain_snapshots: int = 0) -> int:
+    def vacuum(self, retain_snapshots: int = 0,
+               staging_grace_s: float = 0.0) -> int:
         """Delete data dirs referenced by neither the current manifest
         nor the newest ``retain_snapshots`` snapshots (orphans from
         crashed batches, superseded-by-compaction segments, and expired
@@ -1195,7 +1409,16 @@ class ParquetMergeSink:
         readable versions. Unreferenced per-bucket manifest files under
         ``meta/`` are reaped the same way. Safe anytime after commit;
         files pinned by an in-process reader lease (``reader_lease_s``)
-        are never deleted while the lease is live."""
+        are never deleted while the lease is live.
+
+        ``staging_grace_s``: keep unreferenced data/meta younger than
+        this. REQUIRED (set it above the longest expected stage-to-
+        commit latency, e.g. 600) whenever another process may be
+        committing concurrently — its freshly staged output is
+        unreferenced until its commit lands, and reaping it would turn
+        a valid in-flight commit into dangling manifest entries. The
+        default 0 preserves single-process semantics (reap orphans
+        immediately)."""
         roots = [self._load_root()]
         cur_version = roots[0]["version"]
         snaps = self.snapshots()
@@ -1242,6 +1465,13 @@ class ParquetMergeSink:
                     for d in list(os.listdir(sdir)):
                         full = os.path.join(sdir, d)
                         if full not in live and d.startswith(BUCKET_COL + "="):
+                            if staging_grace_s > 0:
+                                try:
+                                    if (now - os.path.getmtime(full)
+                                            < staging_grace_s):
+                                        continue  # possibly mid-commit
+                                except OSError:
+                                    continue
                             shutil.rmtree(full, ignore_errors=True)
                             removed += 1
                     if sub != "." and not os.listdir(sdir):
@@ -1258,6 +1488,11 @@ class ParquetMergeSink:
                     rel = os.path.join("meta", bdir, f)
                     if rel not in live_meta and f.endswith(".json"):
                         try:
+                            if (staging_grace_s > 0
+                                    and now - os.path.getmtime(
+                                        os.path.join(bfull, f))
+                                    < staging_grace_s):
+                                continue
                             os.remove(os.path.join(bfull, f))
                             self._bmeta_cache.pop(rel, None)
                         except OSError:

@@ -1,0 +1,259 @@
+"""Concurrent maintenance: an external compactor against a live writer.
+
+The reference's sink is a live Scylla cluster whose OWN background
+compaction runs concurrently with the replicator's writes (the library
+never thinks about it — Main.java:674-683 just issues point writes).
+The lake sink recreates that separation: commits are serializable
+across processes (COMMIT.lock critical section), ``merge()`` rebases
+its staged segments onto whatever root is current at commit time, and
+``compact()`` replaces exactly the segments it resolved while keeping
+anything appended since — sound because segment resolution is
+timestamp-LWW, order-independent.
+
+These tests drive every interleaving deterministically in-process by
+hooking ``_commit_under_lock`` (the moment between staging and commit),
+then once for real with ``tools/compactor.py`` in a separate OS process
+racing a full engine replay.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+from scylla_cdc_java_spark import Engine, GenSpec, generate_world, write_world
+from scylla_cdc_java_spark.model import (
+    OP_PARTITION_DELETE,
+    OP_ROW_INSERT,
+    EngineConfig,
+    TableConfig,
+)
+from scylla_cdc_java_spark.operators.fold import fold_batch, normalize_log
+from scylla_cdc_java_spark.oracle import final_state, replay
+from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+
+SID = b"\x0b" * 16
+COLS = ["repo", "path", "commit", "lang", "content"]
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _batch(spark, rows):
+    data = [
+        (SID, {"ms": r["ms"], "seq": r["seq"]}, r["op"],
+         *[r.get(c) for c in COLS])
+        for r in rows
+    ]
+    ddl = (
+        "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+        "`cdc$operation` tinyint, "
+        + ", ".join(f"`{c}` string" for c in COLS)
+    )
+    return normalize_log(spark.createDataFrame(data, schema=ddl))
+
+
+def _ins(ms, seq, repo, path, content):
+    return {"op": OP_ROW_INSERT, "ms": ms, "seq": seq, "repo": repo,
+            "path": path, "content": content}
+
+
+def _state(sink):
+    return sorted(
+        (r["repo"], r["path"], r["content"]) for r in sink.read().collect()
+    )
+
+
+def _hook_before_commit(sink, action):
+    """Run ``action()`` right before ``sink``'s next commit critical
+    section — i.e. AFTER its Spark output is staged, BEFORE its
+    metadata rebase — then restore. This is exactly the window in which
+    another process's commit can land."""
+    orig = sink._commit_under_lock
+    fired = [False]
+
+    def wrapper(build, snapshot=True):
+        if not fired[0]:
+            fired[0] = True
+            action()
+        sink._commit_under_lock = orig
+        return orig(build, snapshot=snapshot)
+
+    sink._commit_under_lock = wrapper
+
+
+def test_compactor_lands_between_writer_stage_and_commit(spark, tmp_root):
+    """A (simulated external) compactor commits while the writer's
+    second batch sits staged-but-uncommitted. The writer's rebase must
+    append its delta onto the compacted base — losing neither the
+    compaction nor the batch."""
+    table = TableConfig()
+    path = f"{tmp_root}/cm_w"
+    writer = ParquetMergeSink(spark, path, table, num_buckets=4,
+                              compact_threshold=1000)
+    compactor = ParquetMergeSink(spark, path, table, num_buckets=4)
+
+    writer.merge(fold_batch(_batch(spark, [
+        _ins(10, 0, "o/r1", "a.py", "v1"),
+        _ins(10, 1, "o/r2", "b.py", "v1"),
+    ]), table), {"step": 1})
+    _hook_before_commit(
+        writer, lambda: compactor.compact(buckets=list(range(4)))
+    )
+    writer.merge(fold_batch(_batch(spark, [
+        _ins(20, 0, "o/r1", "a.py", "v2"),   # overwrite over the base
+        _ins(20, 1, "o/r3", "c.py", "v1"),   # new partition
+    ]), table), {"step": 2})
+
+    m = writer.manifest()
+    assert any(len(s) == 2 for s in m["buckets"].values())  # base + delta
+    assert any("/base/" in p or os.sep + "base" + os.sep in p
+               for segs in m["buckets"].values() for p in segs)
+    expect = [("o/r1", "a.py", "v2"), ("o/r2", "b.py", "v1"),
+              ("o/r3", "c.py", "v1")]
+    assert _state(writer) == sorted(expect)
+    # a fresh sink (new process) sees the same state
+    fresh = ParquetMergeSink.for_existing(spark, path)
+    assert _state(fresh) == sorted(expect)
+
+
+def test_writer_lands_between_compactor_stage_and_commit(spark, tmp_root):
+    """The writer commits a batch — including NEW tombstone sidecars —
+    while the compactor's output sits staged. The compactor's rebase
+    must keep the concurrently appended delta and sidecar (and its
+    tomb_rows accounting) as deltas over its new base."""
+    table = TableConfig()
+    path = f"{tmp_root}/cm_c"
+    writer = ParquetMergeSink(spark, path, table, num_buckets=1,
+                              compact_threshold=1000)
+    compactor = ParquetMergeSink(spark, path, table, num_buckets=1)
+
+    writer.merge(fold_batch(_batch(spark, [
+        _ins(10, 0, "o/r1", "a.py", "v1"),
+        _ins(10, 1, "o/r2", "b.py", "v1"),
+    ]), table), {"step": 1})
+    writer.merge(fold_batch(_batch(spark, [
+        _ins(20, 0, "o/r1", "a.py", "v2"),
+    ]), table), {"step": 2})
+
+    def writer_commit():
+        writer.merge(fold_batch(_batch(spark, [
+            _ins(30, 0, "o/r3", "c.py", "v1"),
+            {"op": OP_PARTITION_DELETE, "ms": 31, "seq": 1, "repo": "o/r2"},
+        ]), table), {"step": 3})
+
+    _hook_before_commit(compactor, writer_commit)
+    cstats = compactor.compact(buckets=[0])
+    assert cstats["compacted"] == ["0"]
+
+    m = compactor.manifest()
+    (segs,) = m["buckets"].values()
+    assert len(segs) == 2 and "base" in segs[0]  # base + concurrent delta
+    assert any(m["tomb_segs"].values())          # concurrent sidecar kept
+    assert m["_tomb_rows"]["0"] > 0              # accounting survived
+    expect = [("o/r1", "a.py", "v2"), ("o/r3", "c.py", "v1")]
+    assert _state(compactor) == expect
+    assert _state(writer) == expect
+    # a later full compact folds the survivor sidecar normally
+    compactor.compact(buckets=[0])
+    assert _state(compactor) == expect
+    assert not any(compactor.manifest()["tomb_segs"].values())
+
+
+def test_racing_compactors_one_supersedes(spark, tmp_root):
+    """Two compactors race on the same buckets: the loser detects its
+    read set was superseded and commits nothing — no data loss, no
+    double-apply."""
+    table = TableConfig()
+    path = f"{tmp_root}/cm_race"
+    writer = ParquetMergeSink(spark, path, table, num_buckets=2,
+                              compact_threshold=1000)
+    c1 = ParquetMergeSink(spark, path, table, num_buckets=2)
+    c2 = ParquetMergeSink(spark, path, table, num_buckets=2)
+
+    for step, ms in ((1, 10), (2, 20)):
+        writer.merge(fold_batch(_batch(spark, [
+            _ins(ms, 0, "o/r1", "a.py", f"v{step}"),
+            _ins(ms, 1, "o/r2", "b.py", f"v{step}"),
+        ]), table), {"step": step})
+
+    _hook_before_commit(c1, lambda: c2.compact())
+    stats1 = c1.compact()
+    assert stats1["compacted"] == []  # superseded by c2 — aborted cleanly
+    expect = [("o/r1", "a.py", "v2"), ("o/r2", "b.py", "v2")]
+    assert _state(c1) == expect
+    assert _state(writer) == expect
+    # the loser's orphaned staging output is reaped by a graced vacuum
+    writer.vacuum(staging_grace_s=0.0)
+    assert _state(writer) == expect
+
+
+def test_stale_commit_lock_is_broken(spark, tmp_root):
+    """A lockfile left by a crashed process must not wedge the table:
+    holders older than lock_timeout_s are presumed dead and broken."""
+    table = TableConfig()
+    path = f"{tmp_root}/cm_lock"
+    sink = ParquetMergeSink(spark, path, table, lock_timeout_s=0.5)
+    os.makedirs(path, exist_ok=True)
+    with open(sink._lock_path, "w") as f:
+        f.write("{}")
+    old = time.time() - 3600
+    os.utime(sink._lock_path, (old, old))
+    t0 = time.time()
+    sink.commit_checkpoint({"step": 1})
+    assert time.time() - t0 < 5
+    assert sink.checkpoint() == {"step": 1}
+    assert not os.path.exists(sink._lock_path)
+
+
+def test_external_compactor_process_during_replay(spark, tmp_root):
+    """The real thing: ``tools/compactor.py`` in a separate OS process
+    compacts and vacuums (with staging grace) WHILE the engine replays
+    a multi-window world. Final state must be oracle-exact and at least
+    one external compaction must have landed mid-replay."""
+    # two generations: gen 1 is one epoch-0 backfill window, gen 2's
+    # span is time-capped into ~15 microbatch windows — the external
+    # compactor races those commits
+    spec = GenSpec(seed=31, n_events=2500, n_repos=25, paths_per_repo=8,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=300_000, p_range_delete=0.05)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/cmp_world")
+    target = f"{tmp_root}/cmp_target"
+    out = f"{tmp_root}/compactor.jsonl"
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO_ROOT, "tools", "compactor.py"),
+         target, "--interval", "1", "--max-rounds", "200",
+         "--until-done", "--grace", "30", "--cores", "2", "--out", out],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        eng = Engine(
+            spark, info["log_dir"], info["generations_path"], target,
+            # many small windows; writer's own piggyback compaction OFF
+            # so every compaction is attributable to the external process
+            cfg=EngineConfig(window_length_limit_ms=20_000,
+                             compact_threshold=10**6),
+        )
+        stats = eng.replay()
+        assert stats.windows >= 10, stats.windows
+        proc.wait(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+    rounds = [json.loads(line) for line in open(out)]
+    landed = [r for r in rounds if r["compacted"]]
+    assert landed, "external compactor never landed a compaction"
+
+    oracle_rows = final_state(replay(world["events"]))
+    want = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in oracle_rows
+    )
+    got = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in eng.sink.read().collect()
+    )
+    assert got == want

@@ -1,0 +1,92 @@
+"""External maintenance process: compact + vacuum a live writer's table.
+
+The reference delegates compaction to the destination Scylla cluster's
+own background compaction (the replicator just issues point writes,
+Main.java:674-683); a lake sink must provide that service explicitly.
+This tool is it: a separate OS process that periodically collapses
+multi-segment buckets and reaps superseded files WHILE the engine keeps
+appending windows. Safety comes from the sink's serializable commits
+(COMMIT.lock critical section + rebase, parquet_merge.py module
+docstring) and from ``staging_grace_s`` on vacuum.
+
+Usage:
+    python tools/compactor.py TARGET [--interval 30] [--once]
+        [--retain-snapshots 0] [--grace 600] [--expire-before-ms N]
+        [--max-rounds N] [--out compactor.jsonl]
+
+Stops when TARGET's manifest checkpoint says done=True (the writer
+finished) if --until-done, else loops forever / --max-rounds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("target")
+    ap.add_argument("--interval", type=float, default=30.0)
+    ap.add_argument("--once", action="store_true")
+    ap.add_argument("--until-done", action="store_true")
+    ap.add_argument("--max-rounds", type=int, default=0)
+    ap.add_argument("--retain-snapshots", type=int, default=0)
+    ap.add_argument("--grace", type=float, default=600.0)
+    ap.add_argument("--expire-before-ms", type=int, default=None)
+    ap.add_argument("--cores", type=int, default=4)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from scylla_cdc_java_spark.session import get_spark
+    from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+
+    # wait for the writer's first commit (manifest appears)
+    mpath = os.path.join(args.target, "MANIFEST.json")
+    while not os.path.exists(mpath):
+        time.sleep(0.2)
+
+    spark = get_spark(master=f"local[{args.cores}]",
+                      shuffle_partitions=args.cores)
+    sink = ParquetMergeSink.for_existing(spark, args.target)
+    log = open(args.out, "a") if args.out else None
+    rounds = 0
+    try:
+        while True:
+            t0 = time.time()
+            cstats = sink.compact(expire_before_ms=args.expire_before_ms)
+            removed = sink.vacuum(retain_snapshots=args.retain_snapshots,
+                                  staging_grace_s=args.grace)
+            rec = {
+                "ts": round(time.time(), 2),
+                "compacted": cstats["compacted"],
+                "compact_s": round(cstats["compact_s"], 2),
+                "vacuumed": removed,
+                "round_s": round(time.time() - t0, 2),
+            }
+            line = json.dumps(rec)
+            print(line, flush=True)
+            if log:
+                log.write(line + "\n")
+                log.flush()
+            rounds += 1
+            if args.once or (args.max_rounds and rounds >= args.max_rounds):
+                break
+            if args.until_done:
+                ckpt = sink.checkpoint() or {}
+                if ckpt.get("done"):
+                    break
+            time.sleep(args.interval)
+    finally:
+        if log:
+            log.close()
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
