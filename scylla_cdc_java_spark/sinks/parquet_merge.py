@@ -449,8 +449,34 @@ class ParquetMergeSink:
         ``_load_root`` + ``_resolve(buckets=...)``."""
         return self._resolve(self._load_root(version))
 
-    def checkpoint(self) -> dict | None:
-        return self._load_root().get("checkpoint")
+    def checkpoint(self, shard: str | None = None) -> dict | None:
+        """Consumption checkpoint. ``shard`` selects one sharded
+        consumer's entry (multi-writer tables keep one checkpoint per
+        shard under ``{"shards": {...}}``); None returns the whole
+        stored value (legacy flat dict for single-writer tables)."""
+        ck = self._load_root().get("checkpoint")
+        if shard is None:
+            return ck
+        return ((ck or {}).get("shards") or {}).get(shard)
+
+    def _merge_shard_checkpoint(self, cur: dict, checkpoint: dict | None,
+                                shard: str | None):
+        """Checkpoint value for the next manifest: flat replacement for
+        single-writer tables (shard=None, legacy), or a per-shard merge
+        — this shard's entry replaces ONLY itself; concurrent shards'
+        lineage (committed since we planned) is preserved from the
+        CURRENT root. Top-level ``done`` = every shard that has
+        checkpointed is done (the fleet driver knows its shard count;
+        a not-yet-started shard has no entry)."""
+        if shard is None:
+            return checkpoint
+        cur_ck = cur.get("checkpoint") or {}
+        shards = dict(cur_ck.get("shards") or {})
+        shards[shard] = checkpoint
+        return {
+            "shards": shards,
+            "done": all(bool((s or {}).get("done")) for s in shards.values()),
+        }
 
     def _commit(self, manifest: dict, snapshot: bool = True) -> None:
         # immutable snapshot first (enables time travel / snapshot GC),
@@ -892,12 +918,16 @@ class ParquetMergeSink:
     # write path: append one delta segment + tombstone ledger entries
     # ------------------------------------------------------------------
     def merge(self, fold: FoldResult, checkpoint: dict | None = None,
-              touched_src: DataFrame | None = None) -> dict:
+              touched_src: DataFrame | None = None,
+              shard: str | None = None) -> dict:
         """Apply one folded batch by APPENDING a delta segment; returns
         commit stats (incl. ``delta_rows`` from parquet footers — no
         extra Spark job). ``touched_src`` is accepted for API
         compatibility and unused: merge-on-read needs no touched-bucket
-        scan because the write itself partitions by bucket."""
+        scan because the write itself partitions by bucket. ``shard``
+        scopes the checkpoint to one sharded consumer (multi-writer
+        tables): only this shard's lineage is replaced; concurrent
+        shards' entries survive via the commit-time rebase."""
         t0 = time.time()
         _mark = _phase_marker(t0)
         root = self._load_root()
@@ -1081,7 +1111,8 @@ class ParquetMergeSink:
                     cur["value_columns"] + value_cols)),
                 "collection_columns": list(dict.fromkeys(
                     cur["collection_columns"] + coll_cols)),
-                "checkpoint": checkpoint,
+                "checkpoint": self._merge_shard_checkpoint(
+                    cur, checkpoint, shard),
                 # table identity for external maintenance processes
                 # (ParquetMergeSink.for_existing): bucket routing MUST
                 # match the writer's or compaction misplaces rows
@@ -1381,7 +1412,8 @@ class ParquetMergeSink:
         return {"rolled_back_to": version, "version": m["version"]}
 
     # ------------------------------------------------------------------
-    def commit_checkpoint(self, checkpoint: dict | None) -> dict:
+    def commit_checkpoint(self, checkpoint: dict | None,
+                          shard: str | None = None) -> dict:
         """Advance the checkpoint WITHOUT any data change — one atomic
         manifest swap, zero Spark jobs. Used by the engine for windows
         that provably contain no events (parquet footer-stats pruning):
@@ -1391,7 +1423,8 @@ class ParquetMergeSink:
         def _build(cur: dict) -> dict:
             m = dict(cur)
             m["version"] = cur["version"] + 1
-            m["checkpoint"] = checkpoint
+            m["checkpoint"] = self._merge_shard_checkpoint(
+                cur, checkpoint, shard)
             return m
 
         m = self._commit_under_lock(_build, snapshot=False)

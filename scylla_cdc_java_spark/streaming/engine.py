@@ -223,6 +223,7 @@ class Engine:
         time_bucket_ms: int = 600_000,
         stream_groups: list[int] | None = None,
         group_salt: dict[int, tuple[int, int]] | None = None,
+        shard_id: str | None = None,
     ):
         self.spark = spark
         self.log_dir = log_dir
@@ -249,6 +250,14 @@ class Engine:
         # exactly where it lives. k engines with residues 0..k-1 are
         # key-disjoint and their targets union to the full table.
         self.group_salt = dict(group_salt) if group_salt else {}
+        # Multi-writer shared target: several sharded Engines (disjoint
+        # stream_groups / group_salt residues) may consume into ONE
+        # table concurrently — commits serialize via the sink's
+        # cross-process lock and each shard's checkpoint lives under
+        # its own key, replaced only by its owner. None = single-writer
+        # legacy (flat checkpoint). The shard id must be stable across
+        # restarts (it addresses the resume state).
+        self.shard_id = shard_id
         self._log_df = None  # lazily-created base scan, reused per window
         # (gen, tb) -> (files_tuple, (min_ms, max_ms)|None); superseded
         # file sets are REPLACED, not accumulated — a long-running tail
@@ -455,7 +464,7 @@ class Engine:
         stats = ReplayStats()
         gens = self.generations()
 
-        ckpt = self.sink.checkpoint() or {
+        ckpt = self.sink.checkpoint(shard=self.shard_id) or {
             "gen_index": 0,
             "last_ts": EPOCH_START,
             "groups": {},
@@ -545,7 +554,7 @@ class Engine:
                     ],
                     "done": bool(w.last_window and is_last_gen),
                 }
-                self.sink.commit_checkpoint(new_ckpt)
+                self.sink.commit_checkpoint(new_ckpt, shard=self.shard_id)
                 stats.windows += 1
                 stats.per_window.append(
                     {"gen": gstart, "start": w.start_ts, "end": w.end_ts,
@@ -636,7 +645,7 @@ class Engine:
             if w.last_window:
                 new_ckpt["pending_ranges"] = []
                 new_ckpt["pending_ends"] = []
-            mstats = self.sink.merge(fold, new_ckpt)
+            mstats = self.sink.merge(fold, new_ckpt, shard=self.shard_id)
             new_pending = mstats.get("pending_ranges", [])
             if self.cfg.extra.get("persist_slice", False):
                 slice_df.unpersist()
@@ -675,7 +684,7 @@ class Engine:
         stats = ReplayStats()
         t0 = time.time()
         for _ in range(max_windows):
-            before = self.sink.checkpoint()
+            before = self.sink.checkpoint(shard=self.shard_id)
             s = self._tail_step()
             if s is None:
                 time.sleep(self.cfg.poll_idle_s * self.cfg.sleep_scale)
@@ -713,7 +722,7 @@ class Engine:
     def _tail_step(self) -> dict | None:
         self._log_df = None  # re-list: tail mode must see newly appended files
         gens = self._generations_cached()
-        ckpt = self.sink.checkpoint() or {
+        ckpt = self.sink.checkpoint(shard=self.shard_id) or {
             "gen_index": 0,
             "last_ts": EPOCH_START,
             "groups": {},
@@ -750,7 +759,7 @@ class Engine:
                     ckpt.get("pending_ranges", []),
                 "done": bool(w.last_window and gi + 1 >= len(gens)),
             }
-            self.sink.commit_checkpoint(new_ckpt)
+            self.sink.commit_checkpoint(new_ckpt, shard=self.shard_id)
             return {"rows": 0, "cropped": w.cropped, "skipped": True}
         slice_df = self._read_window(gstart, w)
         pending = [
@@ -772,5 +781,5 @@ class Engine:
         # rows-applied metric comes from the delta segment's parquet
         # footers (driver-side) — round 2 ran an extra full-scan
         # count() job per tail window just for the backoff decision
-        mstats = self.sink.merge(fold, new_ckpt)
+        mstats = self.sink.merge(fold, new_ckpt, shard=self.shard_id)
         return {"rows": mstats.get("delta_rows", 0), "cropped": w.cropped}

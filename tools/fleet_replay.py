@@ -70,24 +70,38 @@ def _child(argv: list[str]) -> None:
         else:
             groups.append(int(tok))
 
-    def one_replay(tag: str) -> tuple[float, int]:
-        target = os.path.join(workdir, f"target_e{exec_idx}_{tag}")
+    def one_replay(tag: str, shared_target: str | None = None
+                   ) -> tuple[float, int]:
+        # FLEET_SHARED_TARGET: every executor consumes into ONE table
+        # (multi-writer mode — serializable commits via the sink's
+        # cross-process lock, per-shard checkpoints). Default: separate
+        # targets, union at read time (the round-3 deployment shape).
+        target = shared_target or os.path.join(
+            workdir, f"target_e{exec_idx}_{tag}")
+        # multi-writer mode disables writer-piggybacked compaction:
+        # with N shards appending to the same buckets the threshold
+        # fires N^2/threshold faster and whichever consumer trips it
+        # pays for the WHOLE fleet's segments (measured: one 4x1c shard
+        # at 332s vs its siblings' 97s). Compaction belongs to the
+        # external maintenance process (tools/compactor.py) there.
         eng = Engine(
             spark, log_dir, gens, target,
             cfg=EngineConfig(
                 window_length_limit_ms=600_000,
                 num_buckets=32,
                 shuffle_partitions=cores,
+                compact_threshold=10**6 if shared_target else 8,
             ),
             stream_groups=groups,
             group_salt=group_salt,
+            shard_id=f"e{exec_idx}" if shared_target else None,
         )
         t0 = time.time()
         stats = eng.replay(collect_group_metrics=False)
         return time.time() - t0, stats.rows
 
     if not os.environ.get("FLEET_SKIP_WARM"):
-        one_replay("warm")  # warm-up: JIT, codegen, page cache
+        one_replay("warm")  # warm-up: JIT, codegen, page cache (private)
 
     # count the shard's events exactly once fleet-wide BEFORE the timed
     # barrier (a count running after an early-finishing executor would
@@ -111,7 +125,8 @@ def _child(argv: list[str]) -> None:
         f.write("ready")
     while not os.path.exists(go_file):
         time.sleep(0.05)
-    wall, _rows = one_replay("timed")
+    wall, _rows = one_replay(
+        "timed", os.environ.get("FLEET_SHARED_TARGET") or None)
     with open(out_file, "w") as f:
         json.dump({"exec": exec_idx, "wall_s": wall, "events": n_events,
                    "groups": len(groups) + len(group_salt)}, f)
@@ -182,10 +197,13 @@ def assign_groups(log_dir: str, n_execs: int) -> list[list[str]]:
 
 
 def run_fleet(log_dir: str, gens: str, n_execs: int, cores_per_exec: int,
-              heap: str = "12g") -> dict:
-    """Spawn the fleet, barrier-start the timed runs, aggregate."""
+              heap: str = "12g", shared_target: bool = False) -> dict:
+    """Spawn the fleet, barrier-start the timed runs, aggregate.
+    ``shared_target=True``: all executors consume into ONE table
+    (multi-writer commits through the cross-process lock)."""
     workdir = tempfile.mkdtemp(prefix=f"fleet_{n_execs}x{cores_per_exec}_")
     go_file = os.path.join(workdir, "GO")
+    shared = os.path.join(workdir, "shared_table") if shared_target else None
     procs, ready, outs = [], [], []
     assignment = assign_groups(log_dir, n_execs)
     for e in range(n_execs):
@@ -198,6 +216,8 @@ def run_fleet(log_dir: str, gens: str, n_execs: int, cores_per_exec: int,
             SPARK_DRIVER_MEM=heap,
             FLEET_GROUPS=",".join(str(g) for g in assignment[e]),
         )
+        if shared:
+            env["FLEET_SHARED_TARGET"] = shared
         procs.append(
             subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "child",
@@ -240,6 +260,7 @@ def run_fleet(log_dir: str, gens: str, n_execs: int, cores_per_exec: int,
     return {
         "n_execs": n_execs,
         "cores_per_exec": cores_per_exec,
+        "shared_target": bool(shared),
         "events": events,
         "wall_s": round(wall, 2),
         "events_per_sec": round(events / wall, 1),
@@ -268,4 +289,6 @@ if __name__ == "__main__":
         _child(sys.argv[2:])
     else:
         log_dir, gens, n_execs, cores = sys.argv[1:5]
-        print(json.dumps(run_fleet(log_dir, gens, int(n_execs), int(cores))))
+        shared = "--shared" in sys.argv[5:]
+        print(json.dumps(run_fleet(log_dir, gens, int(n_execs), int(cores),
+                                   shared_target=shared)))
