@@ -91,6 +91,93 @@ def test_two_shards_one_table_concurrent(spark, tmp_root):
         assert owned == {g for g in range(N_GROUPS) if g % 2 == e}
 
 
+def test_salted_shards_share_one_table(spark, tmp_root):
+    """Hot-group salting under the shared target: the hot group's
+    tombstone ops replicate to BOTH salt shards, so the shared table
+    receives each partition/range tombstone twice — monotone LWW and
+    ts-shadowing must resolve the duplicates to the identical state
+    (the sink's documented idempotency, now exercised across writers
+    instead of across redeliveries)."""
+    spec = GenSpec(seed=47, n_events=3000, n_repos=30, paths_per_repo=10,
+                   zipf_a=1.4, n_generations=2, streams_per_generation=16,
+                   gen_span_ms=60_000)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/world_mwsalt")
+    target = f"{tmp_root}/mwsalt_target"
+    cfg = EngineConfig(window_length_limit_ms=60_000)
+    hot = 0
+    shards = [
+        dict(stream_groups=[g for g in range(1, N_GROUPS) if g % 2 == 1],
+             group_salt={hot: (2, 0)}),
+        dict(stream_groups=[g for g in range(1, N_GROUPS) if g % 2 == 0],
+             group_salt={hot: (2, 1)}),
+    ]
+    engines = [
+        Engine(spark, info["log_dir"], info["generations_path"], target,
+               cfg=cfg, shard_id=f"s{e}", **sh)
+        for e, sh in enumerate(shards)
+    ]
+    errs = []
+
+    def run(eng):
+        try:
+            eng.replay()
+        except Exception as ex:
+            errs.append(ex)
+
+    threads = [threading.Thread(target=run, args=(e,)) for e in engines]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    sink = engines[0].sink
+    assert sink.checkpoint()["done"] is True
+    assert _table_rows(sink) == _oracle(world)
+    # maintenance over the doubly-delivered tombstones stays exact
+    sink.compact()
+    assert _table_rows(sink) == _oracle(world)
+
+
+def test_tail_two_shards_interleaved(spark, tmp_root):
+    """Live-tail path (_tail_step) under the shared target: two shard
+    consumers poll the same log with the same injected clock and commit
+    into one table, steps deterministically interleaved — covering the
+    tail-side shard-checkpoint calls (skipped-window commit_checkpoint
+    and merge) that replay() doesn't exercise."""
+    spec = GenSpec(seed=53, n_events=1500, n_repos=25, paths_per_repo=8,
+                   n_generations=1, streams_per_generation=16,
+                   gen_span_ms=90_000)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/world_mwtail")
+    target = f"{tmp_root}/mwtail_target"
+    clk = {"t": spec.gen0_start_ms}
+    cfg = EngineConfig(window_length_limit_ms=30_000, sleep_scale=0.0,
+                       compact_threshold=10**6)
+    engines = [
+        Engine(spark, info["log_dir"], info["generations_path"], target,
+               cfg=cfg, clock=lambda: clk["t"], shard_id=f"t{e}",
+               stream_groups=[g for g in range(N_GROUPS) if g % 2 == e])
+        for e in range(2)
+    ]
+    # march simulated time past the generation span + late window,
+    # stepping each shard once per tick (interleaved commits)
+    for _ in range(12):
+        clk["t"] += 35_000
+        for eng in engines:
+            eng._tail_step()
+    sink = engines[0].sink
+    full = sink.checkpoint()
+    assert set(full["shards"]) == {"t0", "t1"}
+    for e in range(2):
+        sck = sink.checkpoint(shard=f"t{e}")
+        # tail lineage is last_ts-based (per-group rows_applied is the
+        # replay path's richer bookkeeping): both shards must have
+        # advanced well past the generation span
+        assert sck["last_ts"] > 0
+    assert _table_rows(sink) == _oracle(world)
+
+
 def test_shard_crash_resumes_without_touching_peer(spark, tmp_root):
     """Shard e1 crashes mid-replay after its first commit; shard e0
     completes. A fresh e1 resumes from ITS OWN shard checkpoint (e0's
