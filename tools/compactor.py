@@ -36,7 +36,11 @@ def main() -> None:
     ap.add_argument("--once", action="store_true")
     ap.add_argument("--until-done", action="store_true")
     ap.add_argument("--max-rounds", type=int, default=0)
-    ap.add_argument("--retain-snapshots", type=int, default=0)
+    # default 1: a concurrent READER process that resolved its plan
+    # against the previous version must still find those files (cross-
+    # process readers pin via read(version=...) + retained snapshots;
+    # in-process leases don't cross process boundaries)
+    ap.add_argument("--retain-snapshots", type=int, default=1)
     ap.add_argument("--grace", type=float, default=600.0)
     ap.add_argument("--expire-before-ms", type=int, default=None)
     ap.add_argument("--cores", type=int, default=4)
