@@ -282,10 +282,19 @@ class ParquetMergeSink:
                 except OSError:
                     continue  # released between open and stat — retry now
                 if age > self.lock_timeout_s:
-                    # crashed holder: break the lock (best-effort — if a
-                    # racer removes it first the next O_EXCL decides)
+                    # crashed holder: break the lock by RENAME, not
+                    # remove — two breakers racing on remove could each
+                    # delete the OTHER's freshly created lock (A removes
+                    # stale + recreates; B's stale stat predates that
+                    # and B would remove A's live lock). Rename succeeds
+                    # for exactly one breaker; the loser loops.
+                    stale = self._lock_path + f".stale.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(self._lock_path, stale)
+                    except OSError:
+                        continue  # someone else broke or released it
                     with contextlib.suppress(OSError):
-                        os.remove(self._lock_path)
+                        os.remove(stale)
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(
@@ -468,9 +477,15 @@ class ParquetMergeSink:
         CURRENT root. Top-level ``done`` = every shard that has
         checkpointed is done (the fleet driver knows its shard count;
         a not-yet-started shard has no entry)."""
-        if shard is None:
-            return checkpoint
         cur_ck = cur.get("checkpoint") or {}
+        if shard is None:
+            if "shards" in cur_ck:
+                # a flat write would silently drop every shard's lineage
+                raise ValueError(
+                    "table has sharded checkpoints; pass shard=... "
+                    f"(existing shards: {sorted(cur_ck['shards'])})"
+                )
+            return checkpoint
         shards = dict(cur_ck.get("shards") or {})
         shards[shard] = checkpoint
         return {
