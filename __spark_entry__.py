@@ -50,7 +50,7 @@ ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
 
 # bump when engine semantics change so entry() never reuses a target
 # materialized by an older engine version across rounds
-ENTRY_TARGET_VERSION = "r4hm1"  # hierarchical per-bucket manifests
+ENTRY_TARGET_VERSION = "r4cc1"  # serializable concurrent commits
 
 
 # ---------------------------------------------------------------------------
