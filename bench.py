@@ -253,6 +253,16 @@ def main() -> None:
                 probe.get("equal_total_cores_control", {}).get("ratio"),
             "date": probe.get("protocol", {}).get("date"),
         }
+        mw = probe.get("multi_writer_shared_target")
+        if mw:
+            out["scaling_evidence"]["multi_writer_shared_target"] = {
+                "best_clean_events_per_sec":
+                    mw.get("best_clean", {}).get("events_per_sec"),
+                "vs_separate_targets":
+                    mw.get("vs_separate_targets_best_clean"),
+                "bigworld_4x4c_events_per_sec":
+                    mw.get("bigworld_4x4c", {}).get("events_per_sec"),
+            }
 
     if scaling:
         # The same job on the same (larger) input at N and 4N executors.
