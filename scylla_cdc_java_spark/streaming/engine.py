@@ -719,6 +719,25 @@ class Engine:
             self._gens_fetched_ms = now
         return self._gens_cache
 
+    def _owned_gen_groups(self, gstart: int) -> list[int]:
+        """Stream groups this engine owns within a generation — the
+        groups present on disk (one directory listing), intersected
+        with the task assignment when sharded. Tail-mode checkpoint
+        lineage stamps exactly these (mirrors replay's owned-subset
+        stamping; a sharded consumer must not claim foreign progress)."""
+        base = os.path.join(self.log_dir, f"generation={gstart}")
+        present: list[int] = []
+        try:
+            for d in os.listdir(base):
+                if d.startswith("stream_group="):
+                    present.append(int(d.split("=", 1)[1]))
+        except OSError:
+            return []
+        if self.stream_groups is not None or self.group_salt:
+            mine = set(self.stream_groups or []) | set(self.group_salt)
+            present = [g for g in present if g in mine]
+        return sorted(present)
+
     def _tail_step(self) -> dict | None:
         self._log_df = None  # re-list: tail mode must see newly appended files
         gens = self._generations_cached()
@@ -749,12 +768,19 @@ class Engine:
             w = self._crop_window_to_rows(gstart, w)
         except NotReady:
             return None
+        # per-group lineage (same stamping as replay's owned subset):
+        # generation + last_ts onto every owned group present on disk
+        groups_ckpt = dict(ckpt.get("groups", {}))
+        for g in self._owned_gen_groups(gstart):
+            ent = groups_ckpt.get(str(g), {"rows_applied": 0})
+            ent.update({"generation": gstart, "last_ts": w.end_ts})
+            groups_ckpt[str(g)] = ent
         if not self._window_has_data(gstart, w):
             # idle poll with provably no events: zero Spark jobs
             new_ckpt = {
                 "gen_index": gi + 1 if w.last_window else gi,
                 "last_ts": w.end_ts,
-                "groups": ckpt.get("groups", {}),
+                "groups": groups_ckpt,
                 "pending_ranges": [] if w.last_window else
                     ckpt.get("pending_ranges", []),
                 "done": bool(w.last_window and gi + 1 >= len(gens)),
@@ -770,7 +796,7 @@ class Engine:
         new_ckpt = {
             "gen_index": gi + 1 if w.last_window else gi,
             "last_ts": w.end_ts,
-            "groups": ckpt.get("groups", {}),
+            "groups": groups_ckpt,
             "done": bool(w.last_window and gi + 1 >= len(gens)),
         }
         if w.last_window:

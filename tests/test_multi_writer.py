@@ -171,10 +171,12 @@ def test_tail_two_shards_interleaved(spark, tmp_root):
     assert set(full["shards"]) == {"t0", "t1"}
     for e in range(2):
         sck = sink.checkpoint(shard=f"t{e}")
-        # tail lineage is last_ts-based (per-group rows_applied is the
-        # replay path's richer bookkeeping): both shards must have
-        # advanced well past the generation span
         assert sck["last_ts"] > 0
+        owned = {int(g) for g in sck["groups"]}
+        # per-group lineage stamped onto OWNED groups only (subset of
+        # the shard's assignment; only groups present on disk appear)
+        assert owned and owned <= {g for g in range(N_GROUPS)
+                                   if g % 2 == e}, owned
     assert _table_rows(sink) == _oracle(world)
 
 
