@@ -1501,6 +1501,36 @@ class ParquetMergeSink:
         ]
         for _, fs in self._pins:
             live |= {os.path.join(self.path, p) for p in fs}
+        # cross-process reader leases: every resolved read also dropped
+        # a lease FILE (leases/<uuid>.json, expiry + file list) — honor
+        # unexpired leases from ANY process, reap expired ones.
+        # ``reader_lease_s=0`` opts this vacuum out of lease honoring
+        # entirely (the documented force-immediate-reap switch).
+        lease_dir = os.path.join(self.path, "leases")
+        if self.reader_lease_s > 0 and os.path.isdir(lease_dir):
+            for lf in os.listdir(lease_dir):
+                full = os.path.join(lease_dir, lf)
+                try:
+                    with open(full) as f:
+                        lease = json.load(f)
+                except (OSError, ValueError):
+                    # leases are written atomically (tmp + replace), so
+                    # unreadable means corrupt — reap once it cannot be
+                    # a live lease any more
+                    try:
+                        if now - os.path.getmtime(full) > self.reader_lease_s:
+                            os.remove(full)
+                    except OSError:
+                        pass
+                    continue
+                if lease.get("expiry", 0) < now:
+                    with contextlib.suppress(OSError):
+                        os.remove(full)
+                    continue
+                live |= {
+                    os.path.join(self.path, p)
+                    for p in lease.get("files", ())
+                }
         removed = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
@@ -1551,8 +1581,10 @@ class ParquetMergeSink:
 
     def _pin_files(self, m: dict) -> None:
         """Record the file set a just-resolved lazy read references (see
-        ``reader_lease_s``). Bounded: expired pins are dropped on every
-        call."""
+        ``reader_lease_s``) — in memory for this process AND as a lease
+        file under ``leases/`` so a vacuum run by ANY process honors it
+        (written atomically; vacuum reaps expired lease files). Bounded:
+        expired pins are dropped on every call."""
         if self.reader_lease_s <= 0:
             return
         now = time.time()
@@ -1565,6 +1597,21 @@ class ParquetMergeSink:
         ]
         if files:
             self._pins.append((now, files))
+            lease_dir = os.path.join(self.path, "leases")
+            os.makedirs(lease_dir, exist_ok=True)
+            full = os.path.join(lease_dir, f"{uuid.uuid4().hex}.json")
+            tmp = full + ".tmp"
+            try:
+                with open(tmp, "w") as f:
+                    json.dump({"expiry": now + self.reader_lease_s,
+                               "pid": os.getpid(),
+                               "files": sorted(files)}, f)
+                os.replace(tmp, full)
+            except OSError:
+                # lease write is best-effort protection, never a reason
+                # to fail the read itself
+                with contextlib.suppress(OSError):
+                    os.remove(tmp)
 
 
 def _read_pending(tomb_staging: str, part_key: list[str]):

@@ -187,6 +187,40 @@ def test_racing_compactors_one_supersedes(spark, tmp_root):
     assert _state(writer) == expect
 
 
+def test_cross_process_reader_lease(spark, tmp_root):
+    """A lazy read plan resolved by one 'process' must survive another
+    process's compact+vacuum: the read dropped a lease FILE under
+    leases/ which any vacuum honors until expiry. (In-process pins
+    can't cross process boundaries; the lease file is what makes the
+    vacuum-safety posture hold for the external compactor.)"""
+    table = TableConfig()
+    path = f"{tmp_root}/cm_lease"
+    writer = ParquetMergeSink(spark, path, table, num_buckets=2,
+                              compact_threshold=1000)
+    writer.merge(fold_batch(_batch(spark, [
+        _ins(10, 0, "o/r1", "a.py", "v1"),
+    ]), table), {"step": 1})
+    reader = ParquetMergeSink(spark, path, table, num_buckets=2)
+    slow_plan = reader.read()  # resolves v1's files + writes a lease file
+    assert os.listdir(os.path.join(path, "leases"))
+
+    writer.merge(fold_batch(_batch(spark, [
+        _ins(20, 0, "o/r1", "a.py", "v2"),
+    ]), table), {"step": 2})
+    maintenance = ParquetMergeSink(spark, path, table, num_buckets=2)
+    maintenance.compact()
+    maintenance.vacuum(staging_grace_s=0.0)  # honors the reader's lease
+
+    got = [(r["repo"], r["path"], r["content"]) for r in slow_plan.collect()]
+    assert got == [("o/r1", "a.py", "v1")]  # plan still executable
+    assert [(r["repo"], r["path"], r["content"])
+            for r in maintenance.read().collect()] == [("o/r1", "a.py", "v2")]
+
+    # force-reap switch: reader_lease_s=0 vacuums ignore lease files
+    maintenance.reader_lease_s = 0
+    assert maintenance.vacuum() > 0
+
+
 def test_stale_commit_lock_is_broken(spark, tmp_root):
     """A lockfile left by a crashed process must not wedge the table:
     holders older than lock_timeout_s are presumed dead and broken."""
