@@ -1456,7 +1456,8 @@ class ParquetMergeSink:
         retention window are deleted too, so ``snapshots()`` only lists
         readable versions. Unreferenced per-bucket manifest files under
         ``meta/`` are reaped the same way. Safe anytime after commit;
-        files pinned by an in-process reader lease (``reader_lease_s``)
+        files pinned by a reader lease (``reader_lease_s``) — in-memory
+        for this process, lease FILES under ``leases/`` for any other —
         are never deleted while the lease is live.
 
         ``staging_grace_s``: keep unreferenced data/meta younger than
