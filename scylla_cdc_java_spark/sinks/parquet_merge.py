@@ -128,6 +128,7 @@ from ..model import (
 
 from ..operators.fold import FoldResult
 from ..operators.tombstones import clustering_in_range
+from .commit_backend import CommitBackend, LockfileCommitBackend
 
 CELL_MAP_DDL = "map<string,struct<v:string,ts:long,ttl:long>>"
 CELL_STRUCT_DDL = "struct<v:string,ts:long,ttl:long>"
@@ -171,6 +172,7 @@ class ParquetMergeSink:
         broadcast_tomb_limit: int = 1_000_000,
         tomb_rows_compact_threshold: int | None = None,
         lock_timeout_s: float = 60.0,
+        commit_backend: "CommitBackend | None" = None,
     ):
         self.spark = spark
         self.path = path
@@ -202,10 +204,15 @@ class ParquetMergeSink:
             is not None else broadcast_tomb_limit
         )
         # commit critical sections (read root -> rebase metadata -> swap
-        # pointer) serialize across PROCESSES via a lockfile, enabling
-        # an external maintenance compactor against a live writer; a
-        # lock older than this is presumed crashed and broken
+        # pointer) serialize across PROCESSES via the commit backend —
+        # by default a token-owned lockfile; an object-store deployment
+        # plugs a catalog CAS lease behind the same acquire/release
+        # seam (commit_backend.CommitBackend). A holder stalled longer
+        # than lock_timeout_s is presumed crashed and broken.
         self.lock_timeout_s = lock_timeout_s
+        self.commit_backend = commit_backend or LockfileCommitBackend(
+            os.path.join(path, "COMMIT.lock"), timeout_s=lock_timeout_s
+        )
         self._bmeta_cache: dict[str, dict] = {}
         # a bucket is compacted back to ONE base segment when its
         # segment count reaches this (amortizes the bucket rewrite over
@@ -256,68 +263,22 @@ class ParquetMergeSink:
     def _lock_path(self) -> str:
         return os.path.join(self.path, "COMMIT.lock")
 
-    @contextlib.contextmanager
-    def _commit_lock(self):
-        """Cross-process mutual exclusion for commit critical sections.
-        ``O_CREAT|O_EXCL`` lockfile on the table dir (atomic on POSIX);
-        a lock older than ``lock_timeout_s`` is presumed left by a
-        crashed process and broken. Heavy Spark work always happens
-        BEFORE the lock — the critical section is tiny JSON IO, so a
-        live holder releases in milliseconds. On an object store this
-        role belongs to the catalog's atomic swap (Iceberg metastore /
-        DynamoDB lock); the lockfile gives the same serializable-commit
-        guarantee for shared-filesystem deployments."""
-        deadline = time.time() + self.lock_timeout_s + 10.0
-        while True:
-            try:
-                fd = os.open(self._lock_path,
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, json.dumps(
-                    {"pid": os.getpid(), "ts": time.time()}).encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    age = time.time() - os.path.getmtime(self._lock_path)
-                except OSError:
-                    continue  # released between open and stat — retry now
-                if age > self.lock_timeout_s:
-                    # crashed holder: break the lock by RENAME, not
-                    # remove — two breakers racing on remove could each
-                    # delete the OTHER's freshly created lock (A removes
-                    # stale + recreates; B's stale stat predates that
-                    # and B would remove A's live lock). Rename succeeds
-                    # for exactly one breaker; the loser loops.
-                    stale = self._lock_path + f".stale.{uuid.uuid4().hex}"
-                    try:
-                        os.rename(self._lock_path, stale)
-                    except OSError:
-                        continue  # someone else broke or released it
-                    with contextlib.suppress(OSError):
-                        os.remove(stale)
-                    continue
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"commit lock held beyond {self.lock_timeout_s}s: "
-                        f"{self._lock_path}"
-                    )
-                time.sleep(0.02)
-        try:
-            yield
-        finally:
-            with contextlib.suppress(OSError):
-                os.remove(self._lock_path)
-
     def _commit_under_lock(self, build, snapshot: bool = True) -> dict | None:
-        """Serializable commit: under the cross-process lock, re-read
-        the CURRENT root and let ``build(cur)`` produce the next
-        manifest against it. Optimistic writers stage their Spark
-        output first (outside the lock) and rebase only their METADATA
-        here — a concurrent commit that landed since they planned is
-        absorbed by building against ``cur``, never clobbered (the old
-        blind ``os.replace`` lost whichever commit swapped first).
-        ``build`` returns None to abort (nothing left to commit)."""
-        with self._commit_lock():
+        """Serializable commit — acquire / REBASE / swap / release:
+        under the pluggable ``commit_backend`` (see
+        ``commit_backend.CommitBackend``: lockfile by default, catalog
+        CAS lease on an object store), re-read the CURRENT root and let
+        ``build(cur)`` produce the next manifest against it. Optimistic
+        writers stage their Spark output first (outside the critical
+        section) and rebase only their METADATA here — a concurrent
+        commit that landed since they planned is absorbed by building
+        against ``cur``, never clobbered (the old blind ``os.replace``
+        lost whichever commit swapped first). ``build`` returns None to
+        abort (nothing left to commit). ``CommitLockBroken`` propagates
+        from release: the commit landed, but a breaker judged us stale
+        mid-section, so the result may have raced — callers must treat
+        the table as needing re-verification."""
+        with self.commit_backend.held():
             cur = self._load_root()
             new = build(cur)
             if new is not None:
@@ -379,8 +340,14 @@ class ParquetMergeSink:
             }
             tombs = m.pop("tomb_segs", {})
             m["bucket_index"] = {
+                # tomb_rows None (NOT 0): legacy manifests never counted
+                # sidecar rows, so the read path must fall back to
+                # parquet-footer counts — a 0 here would silently route
+                # arbitrarily large legacy sidecars down the F.broadcast
+                # path that broadcast_tomb_limit exists to prevent
                 b: {"segs": buckets.get(b, []),
-                    "tomb_segs": list(tombs.get(b, []))}
+                    "tomb_segs": list(tombs.get(b, [])),
+                    "tomb_rows": None}
                 for b in set(buckets) | set(tombs)
             }
         m.setdefault("value_columns", list(self.table.value_columns))
@@ -449,7 +416,11 @@ class ParquetMergeSink:
             if segs:
                 m["buckets"][b] = segs
             m["tomb_segs"][b] = list(st.get("tomb_segs", []))
-            m["_tomb_rows"][b] = self._entry_counts(e)[2]
+            # preserve None (legacy: unknown count -> footer fallback in
+            # _apply_tombstones) rather than coercing to 0
+            tr = (e.get("tomb_rows", 0) if "path" in e
+                  else e.get("tomb_rows"))
+            m["_tomb_rows"][b] = None if tr is None else int(tr)
         return m
 
     def manifest(self, version: int | None = None) -> dict:
@@ -467,6 +438,34 @@ class ParquetMergeSink:
         if shard is None:
             return ck
         return ((ck or {}).get("shards") or {}).get(shard)
+
+    def migrate_checkpoint_to_shard(self, shard: str) -> dict:
+        """One-time migration of a legacy single-writer (flat)
+        checkpoint into the sharded layout: the flat lineage becomes
+        shard ``shard``'s entry, so a fleet pointed at a formerly
+        single-writer table resumes from where that writer stopped
+        instead of silently restarting every group from epoch 0 (the
+        hazard ``_merge_shard_checkpoint`` refuses). Serializable like
+        every other commit; no-op error if the table is already sharded
+        or has no checkpoint. Returns the migrated checkpoint value."""
+        def _build(cur: dict) -> dict:
+            ck = cur.get("checkpoint")
+            if not ck:
+                raise ValueError("table has no checkpoint to migrate")
+            if "shards" in ck:
+                raise ValueError(
+                    "checkpoint is already sharded "
+                    f"(shards: {sorted(ck['shards'])})"
+                )
+            new = dict(cur)
+            new["checkpoint"] = {
+                "shards": {shard: ck},
+                "done": bool(ck.get("done")),
+            }
+            new["version"] = cur["version"] + 1
+            return new
+        self._commit_under_lock(_build, snapshot=False)
+        return self.checkpoint(shard=shard)
 
     def _merge_shard_checkpoint(self, cur: dict, checkpoint: dict | None,
                                 shard: str | None):
@@ -486,6 +485,18 @@ class ParquetMergeSink:
                     f"(existing shards: {sorted(cur_ck['shards'])})"
                 )
             return checkpoint
+        if cur_ck and "shards" not in cur_ck:
+            # the mirror hazard of the flat-onto-sharded guard above: a
+            # sharded fleet pointed at a previously single-writer table
+            # would silently DROP the flat lineage and restart every
+            # shard from epoch 0 (state stays correct via idempotent
+            # LWW, but with unbounded rework and no warning)
+            raise ValueError(
+                "table has a legacy single-writer (flat) checkpoint; a "
+                "sharded write would silently discard its lineage. "
+                "Migrate it first: sink.migrate_checkpoint_to_shard("
+                "'<shard>') assigns the flat lineage to one shard key."
+            )
         shards = dict(cur_ck.get("shards") or {})
         shards[shard] = checkpoint
         return {
@@ -1584,11 +1595,35 @@ class ParquetMergeSink:
         """Record the file set a just-resolved lazy read references (see
         ``reader_lease_s``) — in memory for this process AND as a lease
         file under ``leases/`` so a vacuum run by ANY process honors it
-        (written atomically; vacuum reaps expired lease files). Bounded:
-        expired pins are dropped on every call."""
+        (written atomically; vacuum reaps expired lease files). Bounded
+        two ways: expired in-memory pins are dropped on every call, and
+        expired lease FILES are opportunistically reaped here at most
+        once per lease interval — so a long-tail session that never
+        calls vacuum() still cannot accumulate lease files beyond one
+        interval's worth of reads (round-5 ADVICE)."""
         if self.reader_lease_s <= 0:
             return
         now = time.time()
+        if now - getattr(self, "_last_lease_reap", 0.0) > self.reader_lease_s:
+            self._last_lease_reap = now
+            lease_dir = os.path.join(self.path, "leases")
+            if os.path.isdir(lease_dir):
+                for lf in os.listdir(lease_dir):
+                    full = os.path.join(lease_dir, lf)
+                    try:
+                        with open(full) as f:
+                            expired = json.load(f).get("expiry", 0) < now
+                    except (OSError, ValueError):
+                        # atomically written, so unreadable == corrupt;
+                        # reap once it can no longer be a live lease
+                        try:
+                            expired = (now - os.path.getmtime(full)
+                                       > self.reader_lease_s)
+                        except OSError:
+                            continue
+                    if expired:
+                        with contextlib.suppress(OSError):
+                            os.remove(full)
         files = frozenset(
             p for segmap in (m["buckets"], m["tomb_segs"])
             for segs in segmap.values() for p in segs

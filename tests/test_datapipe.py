@@ -221,6 +221,36 @@ def test_dedup_clusters_connected_components(spark):
     assert [d for d, k in sorted(keep.items()) if k] == [1, 10, 20]
 
 
+def test_dedup_clusters_string_ids(spark):
+    """Non-numeric doc ids (URL-ish corpus keys): ids keep their native
+    type — the old cast("long") turned these into NULLs that merged
+    everything into one bogus component. Cluster id = lexicographic min
+    member; NULL ids raise instead of silently mis-clustering."""
+    import pytest as _pytest
+
+    from scylla_cdc_java_spark.datapipe import dedup_clusters, dedup_keep_list
+
+    pairs = spark.createDataFrame(
+        [("doc/b", "doc/a"), ("doc/b", "doc/c"),   # {a,b,c} -> doc/a
+         ("www/x", "www/y")],                      # {x,y}   -> www/x
+        schema="id_a string, id_b string",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(pairs).collect()}
+    assert got == {"doc/a": "doc/a", "doc/b": "doc/a", "doc/c": "doc/a",
+                   "www/x": "www/x", "www/y": "www/x"}
+    keep = {r["doc_id"]: r["keep"]
+            for r in dedup_keep_list(pairs).collect()}
+    assert sorted(d for d, k in keep.items() if k) == ["doc/a", "www/x"]
+
+    bad = spark.createDataFrame(
+        [("doc/a", None), ("doc/b", "doc/c")],
+        schema="id_a string, id_b string",
+    )
+    with _pytest.raises(ValueError, match="NULL doc ids"):
+        dedup_clusters(bad)
+
+
 def test_dedup_clusters_long_chain_converges(spark):
     """A 30-node path is the adversarial diameter case: min-label moves
     one hop per round, so it needs ~30 rounds — convergence with a

@@ -18,8 +18,15 @@ import hashlib
 import threading
 
 from scylla_cdc_java_spark import Engine, GenSpec, generate_world, write_world
-from scylla_cdc_java_spark.model import EngineConfig
+from scylla_cdc_java_spark.model import (
+    OP_ROW_INSERT,
+    OP_ROW_UPDATE,
+    EngineConfig,
+    TableConfig,
+)
+from scylla_cdc_java_spark.operators.fold import fold_batch, normalize_log
 from scylla_cdc_java_spark.oracle import final_state, replay
+from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
 
 N_GROUPS = 8  # streams_per_generation=16 // 2 (write_world default)
 
@@ -42,6 +49,151 @@ def _table_rows(sink):
         ),
         key=lambda r: (r["repo"], r["path"]),
     )
+
+
+SID_EVO = b"\x0d" * 16
+
+
+def _evo_batch(spark, rows, columns):
+    data = [
+        (SID_EVO, {"ms": r["ms"], "seq": r["seq"]}, r["op"],
+         *[r.get(c) for c in columns])
+        for r in rows
+    ]
+    ddl = (
+        "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+        "`cdc$operation` tinyint, "
+        + ", ".join(f"`{c}` string" for c in columns)
+    )
+    return normalize_log(spark.createDataFrame(data, schema=ddl))
+
+
+def _hook_before_commit(sink, action):
+    """Run ``action()`` right before ``sink``'s next commit critical
+    section — AFTER its Spark output staged, BEFORE its metadata rebase
+    (the window in which a concurrent commit can land)."""
+    orig = sink._commit_under_lock
+    fired = [False]
+
+    def wrapper(build, snapshot=True):
+        if not fired[0]:
+            fired[0] = True
+            action()
+        sink._commit_under_lock = orig
+        return orig(build, snapshot=snapshot)
+
+    sink._commit_under_lock = wrapper
+
+
+def test_concurrent_schema_evolution_both_interleavings(spark, tmp_root):
+    """Two shard writers concurrently add DIFFERENT new columns to one
+    shared table (the reference tolerates add/drop implicitly while
+    several workers run, replicator Main.java:141 — per-row column
+    enumeration; here the commit rebase must union ``value_columns``).
+    Driven deterministically through BOTH interleavings: writer B's
+    commit lands inside writer A's stage->commit window, then vice
+    versa. Both columns and both shards' cells must survive either
+    order, and a fresh reader sees the union schema."""
+    table = TableConfig()
+    for flip in (False, True):
+        path = f"{tmp_root}/evo_mw_{int(flip)}"
+        a = ParquetMergeSink(spark, path, table, num_buckets=4)
+        b = ParquetMergeSink(spark, path, table, num_buckets=4)
+        # seed batch: shared base schema
+        a.merge(fold_batch(_evo_batch(spark, [
+            {"op": OP_ROW_INSERT, "ms": 10, "seq": 0, "repo": "o/r1",
+             "path": "a.py", "commit": "c1", "lang": "py", "content": "x1"},
+            {"op": OP_ROW_INSERT, "ms": 10, "seq": 1, "repo": "o/r2",
+             "path": "b.py", "commit": "c2", "lang": "py", "content": "x2"},
+        ], ["repo", "path", "commit", "lang", "content"]), table),
+            None, shard="A")
+
+        first, second = (b, a) if flip else (a, b)
+        first_col, second_col = (
+            ("review_score", "size_bytes") if flip
+            else ("size_bytes", "review_score")
+        )
+
+        def second_commits():
+            second.merge(fold_batch(_evo_batch(spark, [
+                {"op": OP_ROW_UPDATE, "ms": 21, "seq": 0, "repo": "o/r2",
+                 "path": "b.py", second_col: "B-val"},
+            ], ["repo", "path", second_col]), table),
+                None, shard="B" if flip else "A")
+
+        # `second`'s evolved commit lands while `first`'s evolved batch
+        # sits staged-but-uncommitted -> first's rebase must union it
+        _hook_before_commit(first, second_commits)
+        first.merge(fold_batch(_evo_batch(spark, [
+            {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "o/r1",
+             "path": "a.py", first_col: "A-val"},
+        ], ["repo", "path", first_col]), table),
+            None, shard="A" if flip else "B")
+
+        fresh = ParquetMergeSink.for_existing(spark, path)
+        vcols = fresh.manifest()["value_columns"]
+        assert "size_bytes" in vcols and "review_score" in vcols, vcols
+        rows = {r["path"]: r.asDict() for r in fresh.read().collect()}
+        assert set(rows) == {"a.py", "b.py"}
+        got = {
+            "a.py": rows["a.py"][first_col],
+            "b.py": rows["b.py"][second_col],
+        }
+        assert got == {"a.py": "A-val", "b.py": "B-val"}, (flip, got)
+        # the column NOT written on each row reads NULL, base cells live
+        assert rows["a.py"][second_col] is None
+        assert rows["b.py"][first_col] is None
+        assert rows["a.py"]["content"] == "x1"
+        assert rows["b.py"]["content"] == "x2"
+        # ...and compaction folds the mixed-schema segments exactly
+        fresh.compact()
+        rows = {r["path"]: r.asDict() for r in fresh.read().collect()}
+        assert rows["a.py"][first_col] == "A-val"
+        assert rows["b.py"][second_col] == "B-val"
+
+
+def test_concurrent_schema_evolution_threaded_race(spark, tmp_root):
+    """Same property under a real (nondeterministic) race: two threads
+    each commit three batches carrying their own new column into one
+    table; every column and every cell must survive whichever commit
+    order the lock arbitration produces."""
+    table = TableConfig()
+    path = f"{tmp_root}/evo_mw_race"
+    sinks = [ParquetMergeSink(spark, path, table, num_buckets=4)
+             for _ in range(2)]
+    cols = ["size_bytes", "review_score"]
+    errs = []
+
+    def run(i):
+        try:
+            for k in range(3):
+                sinks[i].merge(fold_batch(_evo_batch(spark, [
+                    {"op": OP_ROW_INSERT, "ms": 100 + 10 * k + i, "seq": 0,
+                     "repo": f"o/w{i}", "path": f"f{k}.py",
+                     "commit": f"c{i}{k}", cols[i]: f"v{i}.{k}"},
+                ], ["repo", "path", "commit", cols[i]]), table),
+                    None, shard=f"w{i}")
+        except Exception as ex:
+            errs.append(ex)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    fresh = ParquetMergeSink.for_existing(spark, path)
+    vcols = fresh.manifest()["value_columns"]
+    assert "size_bytes" in vcols and "review_score" in vcols, vcols
+    rows = {(r["repo"], r["path"]): r.asDict()
+            for r in fresh.read().collect()}
+    assert len(rows) == 6
+    for i in range(2):
+        for k in range(3):
+            r = rows[(f"o/w{i}", f"f{k}.py")]
+            assert r[cols[i]] == f"v{i}.{k}"
+            assert r[cols[1 - i]] is None
+            assert r["commit"] == f"c{i}{k}"
 
 
 def test_two_shards_one_table_concurrent(spark, tmp_root):

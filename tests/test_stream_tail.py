@@ -1,10 +1,16 @@
 """Structured Streaming tail: availableNow backlog drain must produce
 the same final state as the batch engine / pure-Python oracle."""
 
+import glob
 import hashlib
+import os
 
 from scylla_cdc_java_spark import GenSpec, StructuredTail, generate_world, write_world
-from scylla_cdc_java_spark.model import EngineConfig
+from scylla_cdc_java_spark.model import (
+    RANGE_END_OPS,
+    RANGE_START_OPS,
+    EngineConfig,
+)
 from scylla_cdc_java_spark.oracle import final_state, replay
 
 
@@ -49,6 +55,79 @@ def test_stream_tail_incremental_batches(spark, tmp_root):
     assert n_batches > 1, "expected multiple microbatches"
     oracle_rows = final_state(replay(world["events"]))
     assert _state(tail.sink) == oracle_rows
+
+
+def test_stream_tail_end_before_start_out_of_order(spark, tmp_root):
+    """Out-of-order batch delivery splits a range-delete pair so the END
+    arrives one microbatch BEFORE its START. The orphan END must be
+    carried in the manifest (``pending_ends`` — the mirror image of the
+    reference's start-carryover, Main.java:491-531, which never needs
+    this because its windows are chronological), observed non-empty
+    mid-run, and re-united when the START shows up: final state exact.
+
+    Mechanics: one pair's START row is moved to its own partition file
+    (sentinel time_bucket) whose mtime is set far NEWER than every other
+    log file; the file stream source processes oldest-first, so with
+    maxFilesPerTrigger=1 the END's file lands in an earlier batch."""
+    spec = GenSpec(seed=11, n_events=1200, n_repos=20, paths_per_repo=8,
+                   n_generations=1, streams_per_generation=4)
+    world = generate_world(spec)
+    ev = world["events"]
+
+    # locate one START whose END shares (stream, ms): move the START to
+    # a sentinel bucket => its own file, delivered last
+    moved = None
+    for i, op in enumerate(ev["op"]):
+        if op in RANGE_START_OPS:
+            j = next(
+                k for k, o in enumerate(ev["op"])
+                if o in RANGE_END_OPS
+                and ev["stream_id"][k] == ev["stream_id"][i]
+                and ev["ms"][k] == ev["ms"][i]
+            )
+            ev["time_bucket"][i] = 10_000_000  # sentinel partition dir
+            moved = (i, j)
+            break
+    assert moved, "world generated no range pairs"
+
+    info = write_world(world, f"{tmp_root}/world_ooo")
+    sentinel = glob.glob(
+        f"{info['log_dir']}/generation=*/stream_group=*/"
+        f"time_bucket=10000000/*.parquet"
+    )
+    assert len(sentinel) == 1
+    now = max(
+        os.path.getmtime(p)
+        for p in glob.glob(f"{info['log_dir']}/generation=*/*/*/*.parquet")
+    )
+    os.utime(sentinel[0], (now + 3600, now + 3600))
+
+    tail = StructuredTail(
+        spark, info["log_dir"], f"{tmp_root}/target_ooo",
+        max_files_per_trigger=1,
+    )
+    pending_end_trace = []
+    orig = tail._apply_batch
+
+    def spy(batch_df, batch_id):
+        orig(batch_df, batch_id)
+        ck = tail.sink.checkpoint() or {}
+        pending_end_trace.append(list(ck.get("pending_ends", [])))
+
+    tail._apply_batch = spy
+    n_batches = tail.run_available_now()
+    assert n_batches > 1
+
+    # the orphan END was visibly carried across at least one batch
+    # boundary and consumed by the final (START-bearing) batch
+    assert any(pe for pe in pending_end_trace[:-1]), (
+        "END never went through pending_ends — delivery was not "
+        "out of order; test setup broken"
+    )
+    assert pending_end_trace[-1] == []
+    ck = tail.sink.checkpoint()
+    assert ck.get("pending_ranges", []) == []
+    assert _state(tail.sink) == final_state(replay(world["events"]))
 
 
 def test_stream_tail_resume_after_restart(spark, tmp_root):

@@ -35,6 +35,13 @@ def main() -> None:
     ap.add_argument("--interval", type=float, default=30.0)
     ap.add_argument("--once", action="store_true")
     ap.add_argument("--until-done", action="store_true")
+    # sharded fleets: shards that start late have NO checkpoint entry
+    # yet, and the manifest's top-level done only aggregates shards
+    # that HAVE checkpointed — without this, the compactor would exit
+    # as soon as the first shard(s) finish, leaving the rest of the
+    # run unmaintained. done=True is honored only once this many shard
+    # entries exist (default 1 keeps single-writer behavior).
+    ap.add_argument("--expect-shards", type=int, default=1)
     ap.add_argument("--max-rounds", type=int, default=0)
     # default 1: a concurrent READER process that resolved its plan
     # against the previous version must still find those files (cross-
@@ -83,7 +90,9 @@ def main() -> None:
                 break
             if args.until_done:
                 ckpt = sink.checkpoint() or {}
-                if ckpt.get("done"):
+                n_shards = len(ckpt.get("shards") or {}) if "shards" in ckpt \
+                    else 1
+                if ckpt.get("done") and n_shards >= args.expect_shards:
                     break
             time.sleep(args.interval)
     finally:
