@@ -128,6 +128,11 @@ from ..model import (
 
 from ..operators.fold import FoldResult
 from ..operators.tombstones import clustering_in_range
+from .bucket_index import (
+    DEFAULT_FOLD_DELTAS,
+    ShardedBucketIndex,
+    copy_index,
+)
 from .commit_backend import CommitBackend, LockfileCommitBackend
 
 CELL_MAP_DDL = "map<string,struct<v:string,ts:long,ttl:long>>"
@@ -173,6 +178,7 @@ class ParquetMergeSink:
         tomb_rows_compact_threshold: int | None = None,
         lock_timeout_s: float = 60.0,
         commit_backend: "CommitBackend | None" = None,
+        index_fold_deltas: int = DEFAULT_FOLD_DELTAS,
     ):
         self.spark = spark
         self.path = path
@@ -214,6 +220,10 @@ class ParquetMergeSink:
             os.path.join(path, "COMMIT.lock"), timeout_s=lock_timeout_s
         )
         self._bmeta_cache: dict[str, dict] = {}
+        # commits write an O(touched) index DELTA file instead of the
+        # O(num_buckets) inline root (bucket_index.ShardedBucketIndex);
+        # pending deltas fold into base shards once this many accumulate
+        self.index_fold_deltas = max(int(index_fold_deltas), 1)
         # a bucket is compacted back to ONE base segment when its
         # segment count reaches this (amortizes the bucket rewrite over
         # compact_threshold windows); <= 1 disables deltas entirely
@@ -331,7 +341,13 @@ class ParquetMergeSink:
         else:
             with open(self._manifest_path) as f:
                 m = json.load(f)
-        if "bucket_index" not in m:
+        if ShardedBucketIndex.is_descriptor(m.get("bucket_index")):
+            # round-5 sharded index: the root carries only a descriptor
+            # (base shard + delta file paths); entries load lazily
+            # through the write-once cache
+            m["bucket_index"] = ShardedBucketIndex(
+                self.path, m["bucket_index"], cache=self._bmeta_cache)
+        elif "bucket_index" not in m:
             # legacy (round-2/3) inline manifest: one segment list per
             # bucket in the root itself -> synthesize inline entries
             buckets = {
@@ -404,13 +420,21 @@ class ParquetMergeSink:
         O(touched) bucket manifest files, never the whole table's."""
         idx = root["bucket_index"]
         if buckets is not None:
-            want = {str(b) for b in buckets}
-            idx = {b: e for b, e in idx.items() if b in want}
+            # POINT lookups — a sharded index reads only the delta
+            # files plus the touched buckets' base shards, never the
+            # full table-width index
+            pairs = []
+            for b in sorted({str(x) for x in buckets}):
+                e = idx.get(b)
+                if e is not None:
+                    pairs.append((b, e))
+        else:
+            pairs = list(idx.items())
         m = {k: v for k, v in root.items() if k != "bucket_index"}
         m["buckets"] = {}
         m["tomb_segs"] = {}
         m["_tomb_rows"] = {}
-        for b, e in idx.items():
+        for b, e in pairs:
             st = self._bucket_state(e)
             segs = list(st.get("segs", []))
             if segs:
@@ -505,6 +529,28 @@ class ParquetMergeSink:
         }
 
     def _commit(self, manifest: dict, snapshot: bool = True) -> None:
+        # Encode the bucket index SHARDED (bucket_index module): flush
+        # this commit's touched entries as one immutable O(touched)
+        # delta file and embed only the descriptor in the root, so the
+        # serialized root is O(n_shards + n_deltas) — never
+        # O(num_buckets). The round-5 contention probe measured the
+        # inline root capping ANY table at ~6 commits/s at 16k buckets
+        # (158 ms critical section); this keeps the critical section
+        # flat in num_buckets. A plain-dict index (new table, or a
+        # round-2/3/4 root's first commit) migrates here by writing a
+        # full base once.
+        idx = manifest.get("bucket_index")
+        if isinstance(idx, ShardedBucketIndex):
+            desc = idx.flush(manifest["version"],
+                             fold_deltas=self.index_fold_deltas)
+        else:
+            obj = ShardedBucketIndex.create(
+                self.path, idx or {},
+                manifest.get("num_buckets", self.num_buckets),
+                manifest["version"], cache=self._bmeta_cache)
+            desc = obj.descriptor()
+            manifest["bucket_index"] = obj  # callers keep a live view
+        manifest = {**manifest, "bucket_index": desc}
         # immutable snapshot first (enables time travel / snapshot GC),
         # then the atomic current-pointer swap. ``snapshot=False`` skips
         # the immutable copy — used for checkpoint-only commits (idle
@@ -1113,7 +1159,7 @@ class ParquetMergeSink:
         # resolution is timestamp-LWW, order-independent) ----------------
         def _build(cur: dict) -> dict:
             v = cur["version"] + 1
-            new_index = dict(cur["bucket_index"])
+            new_index = copy_index(cur["bucket_index"])
             for b in sorted(set(row_new) | set(tomb_new)):
                 prev = (
                     self._bucket_state(new_index[b]) if b in new_index
@@ -1372,7 +1418,7 @@ class ParquetMergeSink:
 
         def _build(cur: dict) -> dict | None:
             v = cur["version"] + 1
-            new_index = dict(cur["bucket_index"])
+            new_index = copy_index(cur["bucket_index"])
             updated.clear()
             for b in sorted(csel):
                 cur_e = new_index.get(b)
@@ -1496,6 +1542,9 @@ class ParquetMergeSink:
         live = set()
         live_meta = set()
         for rt in roots:
+            if isinstance(rt["bucket_index"], ShardedBucketIndex):
+                # base-shard + delta files this root's descriptor needs
+                live_meta |= rt["bucket_index"].referenced_files()
             for b, e in rt["bucket_index"].items():
                 if "path" in e:
                     live_meta.add(e["path"])

@@ -54,13 +54,19 @@ def test_high_bucket_replay_crash_resume_oracle_exact(spark, tmp_root):
     with pytest.raises(RuntimeError):
         eng.replay()
 
-    # the committed root is a consistent prefix in the NEW format:
-    # pointer entries only, no inline segment lists
+    # the committed root is a consistent prefix in the NEW format: a
+    # SHARDED index descriptor (round 5) — the raw root carries only
+    # base-shard/delta file paths, no per-bucket entries at all, so its
+    # size is O(n_shards + n_deltas) regardless of num_buckets
     with open(os.path.join(target, "MANIFEST.json")) as f:
         root = json.load(f)
     assert "bucket_index" in root and "buckets" not in root
-    assert all("path" in e and "n_segs" in e
-               for e in root["bucket_index"].values())
+    desc = root["bucket_index"]
+    assert desc.get("__sharded__") is True and desc["n_shards"] >= 1
+    # the decoded view still yields pointer entries for every bucket
+    decoded = eng.sink._load_root()["bucket_index"]
+    assert len(decoded) > 0
+    assert all("path" in e and "n_segs" in e for e in decoded.values())
 
     # resume -> oracle-exact
     eng2 = Engine(spark, info["log_dir"], info["generations_path"], target,

@@ -34,6 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+from scylla_cdc_java_spark.sinks.bucket_index import copy_index
 
 NUM_BUCKETS = 1024
 WINDOWS = 200
@@ -54,7 +55,7 @@ def run(num_buckets: int = NUM_BUCKETS, windows: int = WINDOWS,
         for w in range(windows):
             t0 = time.time()
             version = root["version"] + 1
-            new_index = dict(root["bucket_index"])
+            new_index = copy_index(root["bucket_index"])
             # deterministic rotating bucket subset
             for i in range(touched):
                 b = str((w * 17 + i * 13) % num_buckets)
