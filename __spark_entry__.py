@@ -679,6 +679,66 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_keep_list(verified)
 
 
+def _entry_inc_spec():
+    """World for the incremental-datapipe contract entry."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=46, n_events=3000,
+                               ttl_fraction=0.0)
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental datapipe over the CDC-MAINTAINED table
+    (datapipe/incremental.py): replay a deterministic world
+    window-by-window with a MinHash signature index synced after EVERY
+    window — each sync rescans only the buckets that window's delta
+    segments touched (the sink's per-bucket manifest fingerprints are
+    the change feed) — then digest the final index. The oracle inlines
+    the pure-Python golden's signatures computed in ONE shot over the
+    independent oracle's final state, so a hash match proves N windows
+    of incremental maintenance == full recompute == the independent
+    Python implementation."""
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import FIELD_SEP
+    from scylla_cdc_java_spark.datapipe.incremental import (
+        IncrementalMinHashIndex,
+    )
+
+    spec = _entry_inc_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    target = os.path.join(
+        base, f"target_inc_{spec.cache_key()}_{ENTRY_TARGET_VERSION}")
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"], target,
+        cfg=EngineConfig(window_length_limit_ms=30_000),
+    )
+    idx = IncrementalMinHashIndex(spark, target + "_sigidx",
+                                  text_col="content")
+    real_merge = eng.sink.merge
+
+    def merge_and_sync(*a, **kw):
+        stats = real_merge(*a, **kw)
+        idx.sync(eng.sink)
+        return stats
+
+    eng.sink.merge = merge_and_sync
+    eng.replay()
+    eng.sink.merge = real_merge
+    # warm-cache runs skip replay entirely (done checkpoint): one
+    # catch-up sync covers them; on cold runs it is a fingerprint no-op
+    idx.sync(eng.sink)
+    sig = idx.signatures()
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.col("repo"),
+        F.col("path"),
+        F.array_join(
+            F.transform("sig", lambda x: x.cast("string")), ","),
+    )
+    return _digest_agg(sig, line)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -714,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_decode_real": q_multimodal_decode_real,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -840,6 +901,12 @@ def _golden_oracles() -> dict[str, str]:
             f"cast({prsum} as bigint) as state_sum, "
             f"cast({prxor} as bigint) as state_xor, "
             f"cast(0 as bigint) as mismatches"
+        )
+        ni, isum, ixor = G.golden_incremental_sigs_digest(_entry_inc_spec())
+        out["dedup_incremental"] = (
+            f"select cast({ni} as bigint) as n_rows, "
+            f"cast({isum} as bigint) as state_sum, "
+            f"cast({ixor} as bigint) as state_xor"
         )
         out["multimodal_resize"] = _values_sql(
             G.golden_resize(sf),

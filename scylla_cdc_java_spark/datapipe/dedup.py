@@ -140,8 +140,21 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            seed: int = 42, max_bucket: int = 64) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: equal band-hash =>
     candidate. Returns (id_a, id_b, n_shared_bands)."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k, seed)
+    return lsh_candidates_from_signatures(
+        sig, id_col=id_col, num_hashes=num_hashes, bands=bands,
+        max_bucket=max_bucket)
+
+
+def lsh_candidates_from_signatures(sig: DataFrame, id_col: str = "doc_id",
+                                   num_hashes: int = 64, bands: int = 16,
+                                   max_bucket: int = 64) -> DataFrame:
+    """Banded-LSH candidate pairs from PRECOMPUTED signatures ``(id_col,
+    sig array<bigint>)`` — the query side of a continuously-maintained
+    signature index (datapipe/incremental.py): signatures are paid for
+    incrementally as the CDC stream touches documents; candidate
+    generation stays the same bucketed equi-join, never all-pairs."""
+    rows_per_band = num_hashes // bands
     banded = sig.select(
         id_col,
         F.posexplode(

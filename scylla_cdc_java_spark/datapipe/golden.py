@@ -455,6 +455,40 @@ def golden_cdc_digest_preimage(spec, table=None) -> tuple[int, str]:
     return (len(rows), *digest_lines(lines))
 
 
+def golden_incremental_sigs_digest(spec, num_hashes: int = 64,
+                                   shingle_k: int = 3, seed: int = 42,
+                                   table=None) -> tuple[int, int, int]:
+    """(n_docs, state_sum, state_xor) over the MinHash signature index
+    an incrementally-maintained ``IncrementalMinHashIndex`` must hold
+    after the CDC world `spec` has fully replayed: the independent
+    Python oracle's final state, one signature per surviving row
+    (``content`` column, ``text or ''`` like the JVM coalesce), digest
+    lines ``pk...FIELD_SEP sig0,sig1,...``. Because the golden is
+    computed from the FINAL state in one shot, a hash match proves
+    incremental maintenance == full recompute — the contract's
+    ``dedup_incremental`` gate."""
+    from ..generator import generate_world
+    from ..model import DEFAULT_TABLE
+    from ..oracle import final_state, replay
+    from .dedup import _perm_params
+
+    table = table or DEFAULT_TABLE
+    rows = final_state(replay(generate_world(spec)["events"], table=table))
+    pa_, pb_ = _perm_params(num_hashes, seed)
+    a = [int(x) for x in pa_]
+    b = [int(x) for x in pb_]
+    lines = []
+    for r in rows:
+        sh = _shingles(r.get("content") or "", shingle_k)
+        sig = [min((ai * s + bi) % MERSENNE for s in sh)
+               for ai, bi in zip(a, b)]
+        lines.append(FIELD_SEP.join(
+            [str(r[c]) for c in table.primary_key]
+            + [",".join(str(x) for x in sig)]
+        ))
+    return (len(lines), *digest_lines(lines))
+
+
 def golden_dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5
                           ) -> list[tuple[int, int, bool]]:
     """(doc_id, cluster_id, keep) for the connected-components dedup

@@ -920,18 +920,23 @@ class ParquetMergeSink:
         return self._apply_tombstones(phys, m, bsel)
 
     def read(self, as_of_ms: int | None = None,
-             version: int | None = None) -> DataFrame:
+             version: int | None = None,
+             buckets: list[int] | None = None) -> DataFrame:
         """Public view: live rows, logical columns only. ``as_of_ms``
         applies TTL expiry as of that instant (Scylla expires a cell at
         write-time + TTL; the lake sink applies the same rule at read
         time — None skips the check entirely, zero overhead).
         ``version`` time-travels to a committed snapshot (Iceberg-style:
         every commit wrote an immutable manifest under ``manifests/``;
-        ``vacuum(retain_snapshots=K)`` bounds how far back is readable)."""
+        ``vacuum(retain_snapshots=K)`` bounds how far back is readable).
+        ``buckets`` restricts the read to the selected buckets' rows —
+        the surface incremental derived-index maintenance
+        (datapipe/incremental.py) uses to rescan only what a CDC window
+        touched: O(touched buckets) file IO, never the whole table."""
         m = self._load_root(version)
         vcols = m["value_columns"]
         coll_cols = m["collection_columns"]
-        phys = self.read_physical(version=version)
+        phys = self.read_physical(buckets=buckets, version=version)
 
         def _vis_coll(c):
             # resolved cells already beat every tombstone; visibility =
