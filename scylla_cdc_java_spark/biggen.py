@@ -90,35 +90,70 @@ def _universe(spec: GenSpec):
         [hashlib.sha1(f"{spec.seed}:{i}".encode()).hexdigest()
          for i in range(4096)], dtype=object)
     blob = " ".join(tokens.tolist())
+    spg = spec.streams_per_generation
     return {
         "gens": gens, "repos": repos, "paths_u": paths_u,
         "langs": langs_by_path, "repo_hash": repo_hash,
         "commit_pool": commit_pool,
         "blob": np.frombuffer(blob.encode(), dtype=np.uint8),
+        # Arrow-side pools for C++ gathers in _slab_table (the row
+        # columns are built as pool indices, never Python strings)
+        "repos_pa": pa.array(repos, pa.string()),
+        "paths_pa": pa.array(paths_u.astype(object), pa.string()),
+        "langs_pa": pa.array(langs_by_path, pa.string()),
+        "commit_pa": pa.array(commit_pool, pa.string()),
+        "sid_pool_pa": pa.array(
+            [s for _g, streams in gens for s in streams], pa.binary()),
     }
 
 
 def _content_arrow(blob: np.ndarray, starts: np.ndarray,
                    lengths: np.ndarray) -> pa.Array:
     """Arrow large_string of ``blob[starts[i]:starts[i]+lengths[i]]``
-    built from buffers — no per-row Python strings."""
+    built from buffers — no per-row Python strings.
+
+    The gather index is built with scatter+cumsum run-length expansion,
+    NOT ``np.repeat(values, counts)``: this environment's numpy takes
+    ~90 s per 5M variable-count repeats (measured), while one cumsum
+    over the expanded length is sub-second."""
     k = len(starts)
     offsets = np.zeros(k + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     total = int(offsets[-1])
-    flat = (np.repeat(starts, lengths)
-            + (np.arange(total, dtype=np.int64)
-               - np.repeat(offsets[:-1], lengths)))
+    # flat[p] = starts[i] + (p - offsets[i]) for p in run i: step is +1
+    # inside a run; at each run start, jump to the run's start index.
+    # int32 throughout (blob indices are tiny) — the expanded arrays are
+    # the slab's biggest allocations and this VM is fault/bandwidth-bound
+    starts32 = starts.astype(np.int32)
+    len32 = lengths.astype(np.int32)
+    step = np.ones(total, dtype=np.int32)
+    step[0] = starts32[0]
+    step[offsets[1:-1]] = starts32[1:] - (starts32[:-1] + len32[:-1] - 1)
+    flat = np.cumsum(step, dtype=np.int32)
     data = blob[flat]
     return pa.Array.from_buffers(
         pa.large_utf8(), k,
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+        [None, pa.py_buffer(offsets), pa.py_buffer(data)],  # zero-copy
     )
 
 
 def _slab_table(spec: GenSpec, uni: dict, slab: int, n_slabs: int) -> pa.Table:
     """One slab's rows as an Arrow table (log schema + hive partition
-    columns), vectorized end-to-end."""
+    columns), vectorized end-to-end. ``BIGGEN_TRACE=1`` prints per-stage
+    wall times (this VM's first-touch page faults make usually-free ops
+    expensive; the trace is how we keep the 10^9 path honest)."""
+    import time as _time
+
+    trace = bool(os.environ.get("BIGGEN_TRACE"))
+    _t = [_time.time()]
+
+    def _tick(label: str) -> None:
+        if trace:
+            now = _time.time()
+            print(f"  biggen[{slab}] {label}: {now - _t[0]:.1f}s",
+                  flush=True)
+            _t[0] = now
+
     rng = np.random.default_rng([spec.seed, 1 + slab])
     n = spec.n_events // n_slabs
     total_span = spec.n_generations * spec.gen_span_ms
@@ -160,6 +195,7 @@ def _slab_table(spec: GenSpec, uni: dict, slab: int, n_slabs: int) -> pa.Table:
     range_excl = rng.random(n) < 0.5
     range_off = rng.integers(1, 8, size=n)
 
+    _tick('draws')
     m_upd = ops == OP_ROW_UPDATE
     m_ins = ops == OP_ROW_INSERT
     m_pdel = ops == OP_PARTITION_DELETE
@@ -168,9 +204,14 @@ def _slab_table(spec: GenSpec, uni: dict, slab: int, n_slabs: int) -> pa.Table:
     counts = np.where(is_range, 2, 1).astype(np.int64)
     pos = np.cumsum(counts) - counts
     n_rows = int(counts.sum())
-    ev = np.repeat(np.arange(n, dtype=np.int64), counts)
+    # run-length expand arange(n) by counts via scatter+cumsum (see
+    # _content_arrow for why np.repeat is unusable here)
+    step = np.zeros(n_rows, dtype=np.int64)
+    step[pos[1:]] = 1
+    ev = np.cumsum(step)
     is_second = np.arange(n_rows, dtype=np.int64) != pos[ev]
 
+    _tick('expand')
     ms_r = ms[ev]
     seq_r = np.arange(n_rows, dtype=np.int64) % SEQ_MOD
     bseq_r = is_second.astype(np.int32)
@@ -182,43 +223,47 @@ def _slab_table(spec: GenSpec, uni: dict, slab: int, n_slabs: int) -> pa.Table:
     op_r[is_second & range_excl[ev]] = OP_RANGE_DELETE_END_EXCLUSIVE
     op_r[is_second & ~range_excl[ev]] = OP_RANGE_DELETE_END_INCLUSIVE
 
-    # --- key columns ------------------------------------------------
-    repo_r = uni["repos"][repo_idx[ev]]
+    _tick('rowmeta_pre')
+    # --- key columns as POOL INDICES (no Python strings) -------------
+    # The old path materialized object-dtype string arrays per row
+    # (.astype(object) = tens of millions of PyStr allocations: 296 s
+    # per 25M-event slab on this VM). Every string/binary column is now
+    # an (index, null-mask) pair gathered from a small Arrow pool with
+    # pc.take AFTER the final sort — C++-side, zero Python objects.
     paths_u = uni["paths_u"]
+    # lexicographic min/max of the range pair via a precomputed rank
+    # (comparing 25M U-dtype strings would allocate ~2.5 GB)
+    rank = np.empty(len(paths_u), dtype=np.int64)
+    rank[np.argsort(paths_u)] = np.arange(len(paths_u))
     lo_j = path_idx
     hi_j = np.minimum(lo_j + range_off, spec.paths_per_repo - 1)
-    a, b = paths_u[lo_j], paths_u[hi_j]
-    swap = a > b  # string sort, matching sorted([lo, hi]) in the slow path
-    lo_s = np.where(swap, b, a)
-    hi_s = np.where(swap, a, b)
-    path_r = paths_u[path_idx[ev]].astype(object)
-    path_r[r_first] = lo_s[ev[r_first]].astype(object)
-    path_r[is_second] = hi_s[ev[is_second]].astype(object)
-    path_r[m_pdel[ev]] = None
+    swap = rank[lo_j] > rank[hi_j]
+    lo_idx = np.where(swap, hi_j, lo_j)
+    hi_idx = np.where(swap, lo_j, hi_j)
 
-    # --- payload columns (None-heavy object arrays) -----------------
+    repo_i = repo_idx[ev]
+    path_i = path_idx[ev]
+    path_i[r_first] = lo_idx[ev[r_first]]
+    path_i[is_second] = hi_idx[ev[is_second]]
+    path_null = m_pdel[ev]
+
+    _tick('keys')
+    # --- payload columns: (index | value, null-mask) ------------------
     set_commit = m_ins | (m_upd & wr_commit & ~del_commit)
     set_lang = m_ins | (m_upd & wr_lang & ~del_lang)
-    commit_r = np.full(n_rows, None, dtype=object)
-    mask = set_commit[ev] & ~is_second
-    commit_r[mask] = uni["commit_pool"][commits_i[ev[mask]]]
-    lang_r = np.full(n_rows, None, dtype=object)
-    mask = set_lang[ev] & ~is_second
-    lang_r[mask] = uni["langs"][path_idx[ev[mask]]]
+    commit_i = commits_i[ev]
+    commit_null = ~(set_commit[ev] & ~is_second)
+    lang_i = path_idx[ev]
+    lang_null = ~(set_lang[ev] & ~is_second)
 
-    def _del_flag(dmask: np.ndarray) -> np.ndarray:
-        out = np.full(n_rows, None, dtype=object)
-        out[(m_upd & dmask)[ev] & ~is_second] = True
-        return out
+    dc_set = (m_upd & del_commit)[ev] & ~is_second
+    dl_set = (m_upd & del_lang)[ev] & ~is_second
+    dx_set = (m_upd & del_content)[ev] & ~is_second
 
-    dc_r = _del_flag(del_commit)
-    dl_r = _del_flag(del_lang)
-    dx_r = _del_flag(del_content)
+    ttl_v = ttl[ev]
+    ttl_null = ~(((m_upd | m_ins) & (ttl >= 0))[ev] & ~is_second)
 
-    ttl_r = np.full(n_rows, None, dtype=object)
-    mask = ((m_upd | m_ins) & (ttl >= 0))[ev] & ~is_second
-    ttl_r[mask] = ttl[ev[mask]]
-
+    _tick('payload')
     # content: arrow values for events that write it; row-level index
     need_c = m_ins | (m_upd & wr_content & ~del_content)
     sel = np.flatnonzero(need_c)
@@ -227,16 +272,16 @@ def _slab_table(spec: GenSpec, uni: dict, slab: int, n_slabs: int) -> pa.Table:
     c_idx_ev[sel] = np.arange(len(sel), dtype=np.int64)
     c_idx_r = np.where(is_second, -1, c_idx_ev[ev])
 
+    _tick('content')
     # stream ids / generation / grouping (index-stable, matching
     # write_world's default grouping so fleet sharding behaves the same)
     spg = spec.streams_per_generation
-    sid_pool = np.array(
-        [s for _g, streams in uni["gens"] for s in streams], dtype=object)
-    sid_r = sid_pool[gen_idx[ev] * spg + stream_of[ev]]
+    sid_i = gen_idx[ev] * spg + stream_of[ev]
     gen_start = np.array([g for g, _s in uni["gens"]], dtype=np.int64)
     gen_r = gen_start[gen_idx[ev]]
     group_r = (stream_of[ev] % max(1, spg // 2)).astype(np.int32)
 
+    _tick('streams')
     # --- duplicate deliveries (never a bare range row) --------------
     n_dup = int(n_rows * spec.dup_fraction)
     order_src = np.arange(n_rows, dtype=np.int64)
@@ -245,34 +290,50 @@ def _slab_table(spec: GenSpec, uni: dict, slab: int, n_slabs: int) -> pa.Table:
         dup_idx = rng.choice(safe, size=min(n_dup, len(safe)), replace=False)
         order_src = np.concatenate([order_src, dup_idx])
 
+    _tick('dups')
     # --- final (ms, seq) order over originals + dups ----------------
     order = order_src[np.lexsort((seq_r[order_src], ms_r[order_src]))]
 
+    _tick('sort')
+    import pyarrow.compute as pc
+
     take = lambda arr: arr[order]  # noqa: E731
+
+    def _pool_col(pool: pa.Array, idx: np.ndarray,
+                  null: np.ndarray | None = None) -> pa.Array:
+        """Gather ``pool[idx[order]]`` (null where masked) in Arrow C++."""
+        idx_f = idx[order]
+        mask_f = null[order] if null is not None else None
+        return pc.take(pool, pa.array(idx_f, pa.int64(), mask=mask_f))
+
     c_idx_f = c_idx_r[order]
     # null indices -> null strings through pc.take
     content_col = pa.array(c_idx_f, type=pa.int64(), mask=c_idx_f < 0)
-    import pyarrow.compute as pc
-
     content_f = pc.take(content_vals, content_col)
 
+    def _flag_col(set_mask: np.ndarray) -> pa.Array:
+        m = set_mask[order]
+        return pa.array(m, pa.bool_(), mask=~m)  # True where set, else null
+
+    ttl_f = ttl_v[order]
+    _tick('take_content')
     return pa.table({
-        "cdc$stream_id": pa.array(take(sid_r), pa.binary()),
+        "cdc$stream_id": _pool_col(uni["sid_pool_pa"], sid_i),
         "cdc$time": pa.StructArray.from_arrays(
             [pa.array(take(ms_r), pa.int64()),
              pa.array(take(seq_r), pa.int64())],
             names=["ms", "seq"]),
         "cdc$operation": pa.array(take(op_r), pa.int8()),
-        "cdc$ttl": pa.array(take(ttl_r), pa.int64()),
+        "cdc$ttl": pa.array(ttl_f, pa.int64(), mask=ttl_null[order]),
         "cdc$batch_seq_no": pa.array(take(bseq_r), pa.int32()),
-        "repo": pa.array(take(repo_r), pa.string()),
-        "path": pa.array(take(path_r), pa.string()),
-        "commit": pa.array(take(commit_r), pa.string()),
-        "lang": pa.array(take(lang_r), pa.string()),
+        "repo": _pool_col(uni["repos_pa"], repo_i),
+        "path": _pool_col(uni["paths_pa"], path_i, path_null),
+        "commit": _pool_col(uni["commit_pa"], commit_i, commit_null),
+        "lang": _pool_col(uni["langs_pa"], lang_i, lang_null),
         "content": content_f.cast(pa.string()),
-        "cdc$deleted_commit": pa.array(take(dc_r), pa.bool_()),
-        "cdc$deleted_lang": pa.array(take(dl_r), pa.bool_()),
-        "cdc$deleted_content": pa.array(take(dx_r), pa.bool_()),
+        "cdc$deleted_commit": _flag_col(dc_set),
+        "cdc$deleted_lang": _flag_col(dl_set),
+        "cdc$deleted_content": _flag_col(dx_set),
         "generation": pa.array(take(gen_r), pa.int64()),
         "stream_group": pa.array(take(group_r), pa.int32()),
         "time_bucket": pa.array(take(ms_r) // spec.time_bucket_ms,

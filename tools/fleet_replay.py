@@ -87,8 +87,11 @@ def _child(argv: list[str]) -> None:
         eng = Engine(
             spark, log_dir, gens, target,
             cfg=EngineConfig(
-                window_length_limit_ms=600_000,
-                num_buckets=32,
+                # overridable for out-sized worlds (10^9-event campaign
+                # bounds per-window shuffle footprint via a smaller cap)
+                window_length_limit_ms=int(
+                    os.environ.get("FLEET_WINDOW_MS", "600000")),
+                num_buckets=int(os.environ.get("FLEET_NUM_BUCKETS", "32")),
                 shuffle_partitions=cores,
                 compact_threshold=10**6 if shared_target else 8,
             ),
@@ -197,11 +200,17 @@ def assign_groups(log_dir: str, n_execs: int) -> list[list[str]]:
 
 
 def run_fleet(log_dir: str, gens: str, n_execs: int, cores_per_exec: int,
-              heap: str = "12g", shared_target: bool = False) -> dict:
+              heap: str = "12g", shared_target: bool = False,
+              workdir: str | None = None, keep: bool = False) -> dict:
     """Spawn the fleet, barrier-start the timed runs, aggregate.
     ``shared_target=True``: all executors consume into ONE table
-    (multi-writer commits through the cross-process lock)."""
-    workdir = tempfile.mkdtemp(prefix=f"fleet_{n_execs}x{cores_per_exec}_")
+    (multi-writer commits through the cross-process lock).
+    ``workdir``/``keep``: pin the working dir / keep it after the run
+    (the bigworld campaign reads the shared table back for its oracle
+    check and runs an external compactor against it)."""
+    workdir = workdir or tempfile.mkdtemp(
+        prefix=f"fleet_{n_execs}x{cores_per_exec}_")
+    os.makedirs(workdir, exist_ok=True)
     go_file = os.path.join(workdir, "GO")
     shared = os.path.join(workdir, "shared_table") if shared_target else None
     procs, ready, outs = [], [], []
@@ -254,13 +263,15 @@ def run_fleet(log_dir: str, gens: str, n_execs: int, cores_per_exec: int,
     results = [json.load(open(o)) for o in outs]
     wall = max(r["wall_s"] for r in results)
     events = sum(r["events"] for r in results)
-    import shutil
+    if not keep:
+        import shutil
 
-    shutil.rmtree(workdir, ignore_errors=True)
+        shutil.rmtree(workdir, ignore_errors=True)
     return {
         "n_execs": n_execs,
         "cores_per_exec": cores_per_exec,
         "shared_target": bool(shared),
+        "shared_table": shared if keep else None,
         "events": events,
         "wall_s": round(wall, 2),
         "events_per_sec": round(events / wall, 1),
