@@ -94,6 +94,33 @@ def _steal_s() -> float:
         return int(f.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
 
 
+def world_for(spec, cache: str = None) -> dict:
+    """Cached world for `spec`, preferring whichever generator's cache
+    already holds it; cold big worlds generate via the vectorized slab
+    path. The per-event legacy generator faults fresh pages for every
+    Python object, which this host has been measured serving as slowly
+    as ~10 MB/s — a cold 30M-event legacy generation can exceed an hour
+    in a bad window, while the slab generator (arena-reusing,
+    numpy/arrow) stays in minutes. Both worlds carry identical spec
+    distributions and replay oracle-exact (tests/test_biggen.py);
+    `info["generator"]` records provenance since the event streams
+    differ (different RNG path — cross-round throughput comparisons at
+    the same spec remain apples-to-apples, same op mix/skew/sizes)."""
+    from scylla_cdc_java_spark import generate_to_dir
+    from scylla_cdc_java_spark.biggen import generate_to_dir_sharded
+
+    cache = cache or CACHE
+    legacy = os.path.join(cache, f"cdcworld_{spec.cache_key()}", "_SUCCESS")
+    if os.path.exists(legacy) or spec.n_events < 10_000_000:
+        info = generate_to_dir(spec, cache)
+        info["generator"] = "legacy"
+        return info
+    n_slabs = max(1, round(spec.n_events / 12_500_000))
+    info = generate_to_dir_sharded(spec, cache, n_slabs)
+    info["generator"] = f"slab({n_slabs})"
+    return info
+
+
 def _replay_iters(spark, info: dict, cores: int, iters: int,
                   steal_frac_ok: float = 0.10) -> dict:
     """Run the replay `iters` times in a warm session (fresh target each
@@ -160,21 +187,21 @@ def main() -> None:
     scaling = "--scaling" in sys.argv
     sf = _sf_of(SF_DIR)
 
-    from scylla_cdc_java_spark import generate_to_dir
-
     spec = _spec(max(20_000, int(20_000_000 * sf)))
     # Steady-state headline: at sf0.1 the 2M-event world is fixed-
     # overhead-dominated (~6 Spark jobs/window over 3 windows) and
-    # understates the engine ~5x. Prefer the cached 30M-event world when
-    # present so the headline reflects steady-state throughput;
-    # regenerating it cold (~20 min) would blow the bench budget, hence
-    # the cache-marker gate.
+    # understates the engine ~5x. Prefer the 30M-event world when its
+    # cache (either generator's) is present so the headline reflects
+    # steady-state throughput; a cold legacy regeneration would blow
+    # the bench budget, hence the cache-marker gate (the slab path
+    # generates in minutes, so its marker counts too).
     big = _spec(30_000_000)
-    big_marker = os.path.join(CACHE, f"cdcworld_{big.cache_key()}", "_SUCCESS")
-    if sf >= 0.1 and os.path.exists(big_marker):
+    if sf >= 0.1 and any(os.path.exists(os.path.join(CACHE, d, "_SUCCESS"))
+                         for d in (f"cdcworld_{big.cache_key()}",
+                                   f"cdcworld_big_{big.cache_key()}_2")):
         spec = big
     t_gen = time.time()
-    info = generate_to_dir(spec, CACHE)
+    info = world_for(spec)
     gen_s = time.time() - t_gen
 
     # ---- headline: CDC replay ----------------------------------------
@@ -277,7 +304,7 @@ def main() -> None:
             os.path.abspath(__file__)), "tools"))
         from fleet_replay import run_fleet
 
-        sinfo = generate_to_dir(_spec(SCALING_EVENTS, SCALING_ZIPF), CACHE)
+        sinfo = world_for(_spec(SCALING_EVENTS, SCALING_ZIPF))
         n, n4 = SCALING_N, SCALING_N * 4
         cores_per_exec = SCALING_CORES
         fleet_small = run_fleet(sinfo["log_dir"], sinfo["generations_path"],

@@ -29,12 +29,11 @@ def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/normalized_pair.json"
 
-    from bench import _spec
-    from scylla_cdc_java_spark import generate_to_dir
+    from bench import _spec, world_for
 
     n = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "60000000"))
     z = float(os.environ.get("SPARK_GRAFT_SCALING_ZIPF", "1.1"))
-    info = generate_to_dir(_spec(n, z), CACHE)
+    info = world_for(_spec(n, z), CACHE)
 
     state: dict = {"events": info["n_rows"], "rounds": [], "done": False}
 

@@ -45,12 +45,11 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_probe_r2.json"
 
 
 def _world():
-    from bench import _spec
-    from scylla_cdc_java_spark import generate_to_dir
+    from bench import _spec, world_for
 
     n = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "60000000"))
     z = float(os.environ.get("SPARK_GRAFT_SCALING_ZIPF", "1.1"))
-    return generate_to_dir(_spec(n, z), CACHE)
+    return world_for(_spec(n, z), CACHE)
 
 
 def _attempt(info, n_execs: int, cores: int) -> dict:
