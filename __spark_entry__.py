@@ -739,6 +739,72 @@ def q_dedup_incremental(spark, sf_dir):
     return _digest_agg(sig, line)
 
 
+def _entry_ivf_spec():
+    """World for the incremental-IVF contract entry (own world/target:
+    independent of dedup_incremental's replay cache)."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=47, n_events=3000,
+                               ttl_fraction=0.0)
+
+
+def q_ivf_incremental(spark, sf_dir):
+    """Incremental ANN index over the CDC-MAINTAINED table
+    (datapipe/incremental.py): replay a deterministic world
+    window-by-window with an IVF index — feature-hashed embeddings +
+    coarse-quantizer list assignments — synced after EVERY window; each
+    sync re-embeds/re-assigns only the buckets that window touched.
+    The quantizer is the seeded data-independent centroid set
+    (similarity.seeded_centroids) so the oracle can re-derive it with
+    zero shared state; it inlines the pure-Python golden's
+    (embedding, list) per surviving row of the independent oracle's
+    final state, so a hash match proves N windows of incremental
+    maintenance == full recompute == the independent Python
+    implementation — including the sequential-f64 dot folds and the
+    first-max assignment tie rule."""
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import FIELD_SEP
+    from scylla_cdc_java_spark.datapipe.incremental import IncrementalIVFIndex
+    from scylla_cdc_java_spark.datapipe.similarity import seeded_centroids
+
+    spec = _entry_ivf_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    target = os.path.join(
+        base, f"target_ivf_{spec.cache_key()}_{ENTRY_TARGET_VERSION}")
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"], target,
+        cfg=EngineConfig(window_length_limit_ms=30_000),
+    )
+    idx = IncrementalIVFIndex(
+        spark, target + "_ivfidx", text_col="content", dim=16, n_lists=8,
+        centroids=seeded_centroids(16, 8, 7),
+    )
+    real_merge = eng.sink.merge
+
+    def merge_and_sync(*a, **kw):
+        stats = real_merge(*a, **kw)
+        idx.sync(eng.sink)
+        return stats
+
+    eng.sink.merge = merge_and_sync
+    eng.replay()
+    eng.sink.merge = real_merge
+    # warm-cache runs skip replay entirely (done checkpoint): one
+    # catch-up sync covers them; on cold runs it is a fingerprint no-op
+    idx.sync(eng.sink)
+    asg = idx.assignments()
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.col("repo"),
+        F.col("path"),
+        F.col("list").cast("string"),
+        F.array_join(
+            F.transform("emb", lambda x: x.cast("string")), ","),
+    )
+    return _digest_agg(asg, line)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -775,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real": q_multimodal_decode_real,
         "dedup_clusters": q_dedup_clusters,
         "dedup_incremental": q_dedup_incremental,
+        "ivf_incremental": q_ivf_incremental,
     }
 
 
@@ -907,6 +974,12 @@ def _golden_oracles() -> dict[str, str]:
             f"select cast({ni} as bigint) as n_rows, "
             f"cast({isum} as bigint) as state_sum, "
             f"cast({ixor} as bigint) as state_xor"
+        )
+        nv, vsum, vxor = G.golden_incremental_ivf_digest(_entry_ivf_spec())
+        out["ivf_incremental"] = (
+            f"select cast({nv} as bigint) as n_rows, "
+            f"cast({vsum} as bigint) as state_sum, "
+            f"cast({vxor} as bigint) as state_xor"
         )
         out["multimodal_resize"] = _values_sql(
             G.golden_resize(sf),

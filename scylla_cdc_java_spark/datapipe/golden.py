@@ -489,6 +489,54 @@ def golden_incremental_sigs_digest(spec, num_hashes: int = 64,
     return (len(lines), *digest_lines(lines))
 
 
+def _hashed_embedding(text: str, k: int, dim: int) -> list[float]:
+    """Mirror of similarity.hashed_embeddings: signed feature hashing
+    over the distinct crc32 shingle set — index from the low log2(dim)
+    bits, sign from the bit just above. Components are sums of +-1
+    (exact in f64, order-free)."""
+    bits = dim.bit_length() - 1
+    emb = [0.0] * dim
+    for h in _shingles(text, k):
+        emb[h % dim] += 1.0 if ((h >> bits) & 1) == 0 else -1.0
+    return emb
+
+
+def golden_incremental_ivf_digest(spec, dim: int = 16, n_lists: int = 8,
+                                  cent_seed: int = 7, shingle_k: int = 3,
+                                  table=None) -> tuple[int, int, int]:
+    """(n_docs, state_sum, state_xor) over the IVF index an
+    incrementally-maintained ``IncrementalIVFIndex`` must hold after
+    the CDC world `spec` has fully replayed: the independent Python
+    oracle's final state, one (embedding, list) per surviving row.
+    Centroids are the seeded data-independent quantizer
+    (``similarity.seeded_centroids`` — a shared seeded parameter
+    constructor, like the LSH planes) so both sides derive them with
+    zero shared state. Dots are sequential f64 (``_sdot`` replicates
+    ``F.aggregate``'s fold order) and the list is the FIRST max
+    (``list.index(max)`` == ``array_position``), so a hash match
+    proves N windows of incremental maintenance == full recompute ==
+    the independent Python implementation."""
+    from ..generator import generate_world
+    from ..model import DEFAULT_TABLE
+    from ..oracle import final_state, replay
+    from .similarity import seeded_centroids  # shared seeded constructor
+
+    table = table or DEFAULT_TABLE
+    rows = final_state(replay(generate_world(spec)["events"], table=table))
+    cn = [[float(x) for x in row]
+          for row in seeded_centroids(dim, n_lists, cent_seed)]
+    lines = []
+    for r in rows:
+        emb = _hashed_embedding(r.get("content") or "", shingle_k, dim)
+        dots = [_sdot(emb, c) for c in cn]
+        lst = dots.index(max(dots))
+        lines.append(FIELD_SEP.join(
+            [str(r[c]) for c in table.primary_key]
+            + [str(lst), ",".join(str(x) for x in emb)]
+        ))
+    return (len(lines), *digest_lines(lines))
+
+
 def golden_dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5
                           ) -> list[tuple[int, int, bool]]:
     """(doc_id, cluster_id, keep) for the connected-components dedup

@@ -2,11 +2,18 @@
 
 The round-4 datapipe recomputed dedup/ANN state from scratch over a
 static ``documents`` table; the pipeline this engine feeds runs those
-continuously over the table ``Engine`` maintains. This module keeps a
-**MinHash signature index** in lockstep with a ``ParquetMergeSink``
-table, recomputing signatures ONLY for the buckets the CDC stream
-touched since the last sync — O(touched) work per window against a
-table whose total size is unbounded.
+continuously over the table ``Engine`` maintains. This module keeps
+derived indexes in lockstep with a ``ParquetMergeSink`` table,
+recomputing state ONLY for the buckets the CDC stream touched since
+the last sync — O(touched) work per window against a table whose total
+size is unbounded. Two indexes share one maintenance core
+(``_BucketSyncedIndex``):
+
+- ``IncrementalMinHashIndex`` — MinHash signatures, answering banded
+  LSH near-duplicate candidate queries off the maintained state;
+- ``IncrementalIVFIndex`` — feature-hashed embeddings + IVF coarse-
+  quantizer list assignments, answering ANN probes off the maintained
+  state.
 
 Why bucket-level (not row-level) diffing is the right grain here: the
 sink already partitions rows AND all their mutation metadata by
@@ -18,21 +25,22 @@ per-row change log, no timestamps to reason about, and deletes are
 covered for free (a bucket whose rows were all deleted still gets a
 new entry / drops out of the index). At 100 TB you size ``num_buckets``
 so a bucket is a few hundred MB; a window touching k buckets costs one
-k-bucket scan + signature pass + a k-partition overwrite of the index
+k-bucket scan + recompute pass + a k-partition overwrite of the index
 — the same O(window) posture as the sink's own merge path.
 
 Crash safety: the fingerprint state file is replaced atomically AFTER
 the index partitions land, so a crash mid-sync leaves stale
 fingerprints and the next ``sync()`` simply redoes those buckets
-(signature computation is deterministic — redo is idempotent).
+(recomputation is deterministic — redo is idempotent).
 
 Equality with a full recompute is not asymptotic hand-waving; it is
-hash-checked: the driver contract's ``dedup_incremental`` entry replays
-a deterministic world window-by-window with a sync after EVERY window
-and digest-compares the final index against the pure-Python golden
-(signatures over the independent oracle's final state), and
-tests/test_incremental.py additionally asserts sync-by-sync that only
-touched buckets were rescanned and that deletes leave the index.
+hash-checked: the driver contract's ``dedup_incremental`` and
+``ivf_incremental`` entries replay a deterministic world
+window-by-window with a sync after EVERY window and digest-compare the
+final index against the pure-Python golden (derived state over the
+independent oracle's final rows), and tests/test_incremental.py
+additionally asserts sync-by-sync that only touched buckets were
+rescanned and that deletes leave the index.
 """
 
 from __future__ import annotations
@@ -43,9 +51,20 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .dedup import lsh_candidates_from_signatures, minhash_signatures
+from .similarity import (
+    _centroid_dots_expr,
+    _dot,
+    _kmeans_centroids,
+    _norm,
+    argmax_expr,
+    hashed_embeddings,
+    probe_lists_expr,
+)
 
 BUCKET_COL = "__bucket"
 
@@ -63,35 +82,24 @@ def _entry_fingerprint(entry: dict) -> str:
     )
 
 
-class IncrementalMinHashIndex:
-    """A MinHash signature index ``(doc id columns..., sig
-    array<bigint>)`` stored as bucket-partitioned parquet, maintained
-    incrementally against a ``ParquetMergeSink`` table.
+class _BucketSyncedIndex:
+    """Maintenance core shared by every bucket-synced index: manifest-
+    fingerprint diffing, partition-pruned rescan of changed buckets,
+    dynamic partition overwrite of exactly those index partitions, and
+    drop-out of emptied/removed buckets. Subclasses provide
+    ``value_cols`` and ``_values(docs, sink)`` — the derived columns to
+    keep per surviving row."""
 
-    ``sync(sink)`` diffs the sink's per-bucket manifest fingerprints
-    against the index's recorded state, rescans ONLY changed buckets
-    (``sink.read(buckets=...)`` — partition-pruned file IO), recomputes
-    their signatures, and dynamically overwrites exactly those index
-    partitions. Buckets that vanished (all rows deleted + compacted
-    away) or came back empty are dropped from the index.
-
-    The signature recipe is ``dedup.minhash_signatures`` — pure-JVM
-    shingle/permutation hashing, bit-identical to the pure-Python
-    golden — so an incrementally-maintained index is value-identical to
-    a full recompute over the current table (the property the contract
-    digest checks).
-    """
+    #: parquet subdirectory holding the index partitions
+    data_subdir = "data"
+    #: derived column names ``_values`` adds next to the pk columns
+    value_cols: tuple = ()
 
     def __init__(self, spark: SparkSession, path: str,
-                 text_col: str = "content", num_hashes: int = 64,
-                 bands: int = 16, shingle_k: int = 3, seed: int = 42):
+                 text_col: str = "content"):
         self.spark = spark
         self.path = path
         self.text_col = text_col
-        self.num_hashes = num_hashes
-        self.bands = bands
-        self.shingle_k = shingle_k
-        self.seed = seed
         os.makedirs(path, exist_ok=True)
 
     # -- state ----------------------------------------------------------
@@ -112,8 +120,15 @@ class IncrementalMinHashIndex:
         os.replace(tmp, self._state_path)
 
     @property
-    def _sig_dir(self) -> str:
-        return os.path.join(self.path, "sigs")
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, self.data_subdir)
+
+    # -- derived state (subclass hook) -----------------------------------
+    def _values(self, docs: DataFrame, sink) -> DataFrame:
+        """``docs`` is ``(pk columns..., _text, _doc_key)`` for every
+        surviving row of the changed buckets; return ``(pk columns...,
+        *value_cols)``."""
+        raise NotImplementedError
 
     # -- maintenance ----------------------------------------------------
     def sync(self, sink) -> dict:
@@ -148,19 +163,15 @@ class IncrementalMinHashIndex:
                     "\x1f", *[F.col(c) for c in sink.table.primary_key]
                 ).alias("_doc_key"),
             )
-            sigs = minhash_signatures(
-                docs, text_col="_text", id_col="_doc_key",
-                num_hashes=self.num_hashes, shingle_k=self.shingle_k,
-                seed=self.seed,
-            )
             out = (
-                docs.join(sigs, "_doc_key")
+                self._values(docs, sink)
                 # the SINK's routing (partition-key columns only): the
                 # index partition for a doc must be the bucket whose
                 # manifest fingerprint governs its resync, or docs land
                 # in partitions that never get overwritten again
                 .withColumn(BUCKET_COL, sink._bucket_expr())
-                .select(*sink.table.primary_key, "sig", BUCKET_COL)
+                .select(*sink.table.primary_key, *self.value_cols,
+                        BUCKET_COL)
             )
             # dynamic partition overwrite: replaces exactly the
             # partitions present in this batch, leaves the rest alone
@@ -178,14 +189,14 @@ class IncrementalMinHashIndex:
                 out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(BUCKET_COL)
-                .parquet(self._sig_dir)
+                .parquet(self._data_dir)
             )
             out.unpersist()
             emptied = [b for b in changed if b not in with_rows]
 
         for b in removed + emptied:
             shutil.rmtree(
-                os.path.join(self._sig_dir, f"{BUCKET_COL}={b}"),
+                os.path.join(self._data_dir, f"{BUCKET_COL}={b}"),
                 ignore_errors=True,
             )
 
@@ -196,14 +207,55 @@ class IncrementalMinHashIndex:
                 "sync_s": time.time() - t0}
 
     # -- query side ------------------------------------------------------
-    def signatures(self) -> DataFrame:
-        """The current index: (pk columns..., sig, __bucket)."""
-        if not os.path.isdir(self._sig_dir) or not any(
-            d.startswith(BUCKET_COL + "=") for d in os.listdir(self._sig_dir)
+    def data(self) -> DataFrame:
+        """The current index: (pk columns..., *value_cols, __bucket)."""
+        if not os.path.isdir(self._data_dir) or not any(
+            d.startswith(BUCKET_COL + "=") for d in os.listdir(self._data_dir)
         ):
             raise FileNotFoundError(
-                f"no signatures at {self._sig_dir}; run sync() first")
-        return self.spark.read.parquet(self._sig_dir)
+                f"no index data at {self._data_dir}; run sync() first")
+        return self.spark.read.parquet(self._data_dir)
+
+
+class IncrementalMinHashIndex(_BucketSyncedIndex):
+    """A MinHash signature index ``(doc id columns..., sig
+    array<bigint>)`` stored as bucket-partitioned parquet, maintained
+    incrementally against a ``ParquetMergeSink`` table.
+
+    The signature recipe is ``dedup.minhash_signatures`` — pure-JVM
+    shingle/permutation hashing, bit-identical to the pure-Python
+    golden — so an incrementally-maintained index is value-identical to
+    a full recompute over the current table (the property the contract
+    digest checks)."""
+
+    data_subdir = "sigs"
+    value_cols = ("sig",)
+
+    def __init__(self, spark: SparkSession, path: str,
+                 text_col: str = "content", num_hashes: int = 64,
+                 bands: int = 16, shingle_k: int = 3, seed: int = 42):
+        super().__init__(spark, path, text_col)
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.seed = seed
+
+    def _values(self, docs: DataFrame, sink) -> DataFrame:
+        sigs = minhash_signatures(
+            docs, text_col="_text", id_col="_doc_key",
+            num_hashes=self.num_hashes, shingle_k=self.shingle_k,
+            seed=self.seed,
+        )
+        return docs.join(sigs, "_doc_key")
+
+    # -- query side ------------------------------------------------------
+    def signatures(self) -> DataFrame:
+        """The current index: (pk columns..., sig, __bucket)."""
+        return self.data()
+
+    @property
+    def _sig_dir(self) -> str:  # kept for back-compat with older tests
+        return self._data_dir
 
     def lsh_candidates(self, id_cols: list[str],
                        max_bucket: int = 64) -> DataFrame:
@@ -218,3 +270,168 @@ class IncrementalMinHashIndex:
         return lsh_candidates_from_signatures(
             sig, id_col="_doc_key", num_hashes=self.num_hashes,
             bands=self.bands, max_bucket=max_bucket)
+
+
+class IncrementalIVFIndex(_BucketSyncedIndex):
+    """An IVF index ``(doc id columns..., emb array<double>, list int)``
+    over the CDC-maintained table, maintained incrementally: the
+    embedding is ``similarity.hashed_embeddings`` (feature-hashed
+    shingles — the table has no embedding column, so the vector is
+    derived from ``text_col``), the list is the max-dot centroid
+    (``similarity.argmax_expr``), and only touched buckets are
+    re-embedded/re-assigned per sync.
+
+    Centroid lifecycle is the standard IVF recipe: the coarse quantizer
+    is trained ONCE (first sync with data, on a deterministic
+    md5-ordered sample — or pass ``centroids`` explicitly, e.g.
+    ``similarity.seeded_centroids`` where a zero-shared-state golden
+    must re-derive them) and then held fixed; incremental maintenance
+    updates list MEMBERSHIP, never the quantizer — re-training would
+    invalidate every list at once, the opposite of incremental.
+    Centroids persist as full-precision JSON inside the index dir, so
+    any process resuming maintenance assigns identically.
+
+    Index partitions stay keyed by the SINK's bucket (the maintenance
+    grain); within a partition rows are sorted by ``list`` so parquet
+    row-group stats prune ANN probes that read the index by list."""
+
+    data_subdir = "ivf"
+    value_cols = ("emb", "list")
+
+    def __init__(self, spark: SparkSession, path: str,
+                 text_col: str = "content", dim: int = 16,
+                 n_lists: int = 8, shingle_k: int = 3, seed: int = 42,
+                 sample_size: int = 4096, centroids=None):
+        super().__init__(spark, path, text_col)
+        self.dim = dim
+        self.n_lists = n_lists
+        self.shingle_k = shingle_k
+        self.seed = seed
+        self.sample_size = sample_size
+        self._cn = None if centroids is None else np.asarray(
+            centroids, dtype=np.float64)
+
+    # -- centroids --------------------------------------------------------
+    @property
+    def _centroid_path(self) -> str:
+        return os.path.join(self.path, "centroids.json")
+
+    def centroids(self) -> np.ndarray | None:
+        """The fixed coarse quantizer, or None before first training."""
+        if self._cn is None and os.path.exists(self._centroid_path):
+            with open(self._centroid_path) as f:
+                self._cn = np.asarray(json.load(f), dtype=np.float64)
+        return self._cn
+
+    def _persist_centroids(self, cn: np.ndarray) -> None:
+        # json round-trips python floats exactly (repr) — assignments
+        # after a process restart are bit-identical
+        tmp = self._centroid_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump([[float(x) for x in row] for row in cn], f)
+        os.replace(tmp, self._centroid_path)
+        self._cn = cn
+
+    def _ensure_centroids(self, docs: DataFrame) -> np.ndarray | None:
+        if self.centroids() is not None:
+            if not os.path.exists(self._centroid_path):
+                self._persist_centroids(self._cn)
+            return self._cn
+        # train on a deterministic md5-ordered sample of the docs at
+        # hand (first data-bearing sync sees every bucket, i.e. the
+        # whole table — the standard "train the quantizer on a tiny
+        # sample of the corpus" recipe, cf. similarity.train_ivf_centroids)
+        sample = hashed_embeddings(
+            docs.orderBy(F.md5(F.col("_doc_key")), F.col("_doc_key"))
+            .limit(self.sample_size),
+            text_col="_text", id_col="_doc_key",
+            dim=self.dim, shingle_k=self.shingle_k,
+        ).collect()
+        if not sample:
+            return None
+        vecs = np.asarray([r["emb"] for r in sample], dtype=np.float64)
+        cn = _kmeans_centroids(vecs, self.n_lists, self.seed)
+        norms = np.linalg.norm(cn, axis=1, keepdims=True)
+        cn = cn / np.where(norms == 0, 1.0, norms)
+        self._persist_centroids(cn)
+        return self._cn
+
+    # -- derived state -----------------------------------------------------
+    def _values(self, docs: DataFrame, sink) -> DataFrame:
+        cn = self._ensure_centroids(docs)
+        if cn is None:
+            # no rows anywhere yet (e.g. every changed bucket emptied by
+            # deletes): zero-row frame with the right shape; training
+            # re-arms on the next data-bearing sync
+            return docs.select(
+                *sink.table.primary_key,
+                F.array().cast("array<double>").alias("emb"),
+                F.lit(0).alias("list"),
+            )
+        emb = hashed_embeddings(docs, text_col="_text", id_col="_doc_key",
+                                dim=self.dim, shingle_k=self.shingle_k)
+        return (
+            docs.join(emb, "_doc_key")
+            .withColumn("_dots", _centroid_dots_expr(F.col("emb"), cn))
+            .withColumn("list", argmax_expr(F.col("_dots")))
+            .drop("_dots")
+            # row-group stats on `list` let by-list probes skip groups
+            .sortWithinPartitions("list")
+        )
+
+    # -- query side ----------------------------------------------------------
+    def assignments(self) -> DataFrame:
+        """The current index: (pk columns..., emb, list, __bucket)."""
+        return self.data()
+
+    def search(self, queries: DataFrame, k: int = 5, nprobe: int = 2,
+               qid_col: str = "qid", text_col: str = "text",
+               id_cols: list[str] | None = None) -> DataFrame:
+        """ANN over the MAINTAINED index: embed the query texts with the
+        same recipe, probe each query's ``nprobe`` best lists, exact
+        cosine rerank inside the probed lists only. Returns
+        (qid, doc_key, cosine, rank). Queries are broadcast; the corpus
+        side is one filtered scan of the index (row-group pruned via
+        the `list` sort)."""
+        cn = self.centroids()
+        if cn is None:
+            raise FileNotFoundError("no centroids; run sync() first")
+        idx = self.assignments()
+        key_cols = id_cols or [c for c in idx.columns
+                               if c not in (*self.value_cols, BUCKET_COL)]
+        corpus = idx.select(
+            F.concat_ws("\x1f", *[F.col(c) for c in key_cols])
+            .alias("doc_key"),
+            F.col("emb").alias("_cv"), F.col("list").alias("_list"),
+        )
+        qemb = hashed_embeddings(
+            queries.select(F.col(qid_col),
+                           F.coalesce(F.col(text_col), F.lit(""))
+                           .alias("_text")),
+            text_col="_text", id_col=qid_col,
+            dim=self.dim, shingle_k=self.shingle_k,
+        )
+        probe = probe_lists_expr(F.col("_dots"), len(cn), nprobe)
+        q = (
+            qemb.select(qid_col, F.col("emb").alias("_qv"))
+            .withColumn("_dots", _centroid_dots_expr(F.col("_qv"), cn))
+            .select(qid_col, "_qv", F.explode(probe).alias("_list"))
+        )
+        scored = (
+            F.broadcast(q).join(corpus, "_list")
+            .where((_norm(F.col("_qv")) > 0) & (_norm(F.col("_cv")) > 0))
+            .select(
+                qid_col, "doc_key",
+                (_dot(F.col("_qv"), F.col("_cv"))
+                 / (_norm(F.col("_qv")) * _norm(F.col("_cv"))))
+                .alias("cosine"),
+            )
+            .dropDuplicates([qid_col, "doc_key"])
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.desc("cosine"), F.asc("doc_key"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy(qid_col, "rank")
+        )

@@ -221,6 +221,86 @@ def _centroid_dots_expr(vec_col, cn: np.ndarray):
     return F.array(*[_dot(vec_col, _vec_literal(cn[j])) for j in range(len(cn))])
 
 
+def argmax_expr(arr) -> "F.Column":
+    """Index of the FIRST maximum element (``array_position`` returns
+    the first match) — the IVF list-assignment tie rule, mirrored by
+    ``list.index(max(list))`` in the pure-Python golden."""
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def probe_lists_expr(dots, n_lists: int, nprobe: int) -> "F.Column":
+    """The ``nprobe`` list indices with the highest centroid dots —
+    dot desc, tie by list index asc — as an ``array<int>``."""
+    zipped = F.arrays_zip(
+        dots.alias("d"),
+        F.sequence(F.lit(0), F.lit(n_lists - 1)).alias("i"),
+    )
+    ordered = F.array_sort(
+        zipped,
+        lambda a, b: F.when(a["d"] > b["d"], F.lit(-1))
+        .when(a["d"] < b["d"], F.lit(1))
+        .otherwise((a["i"] - b["i"]).cast("int")),
+    )
+    return F.transform(F.slice(ordered, 1, nprobe),
+                       lambda s: s["i"].cast("int"))
+
+
+def seeded_centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
+    """Data-independent row-normalized centroids from a seeded rng —
+    the quantizer used where BOTH sides of a check must derive the
+    centroids with zero shared state (the ``ivf_incremental`` contract
+    entry's pure-Python golden re-creates these from the same seed).
+    Trained centroids (``train_ivf_centroids``) give better list
+    balance and are the default everywhere else."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def hashed_embeddings(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", dim: int = 16,
+                      shingle_k: int = 3) -> DataFrame:
+    """Feature-hashed bag-of-shingles embedding ``(id_col, emb
+    array<double>)`` — the deterministic text->vector bridge that lets
+    embedding-space operators (IVF lists, cosine near-dup) run over a
+    table that has no embedding column, e.g. the CDC-maintained
+    ``(repo, path, ..., content)`` table (datapipe/incremental.py).
+
+    Per distinct shingle hash h (crc32, as ``shingle_array_expr``):
+    ``emb[h % dim] += +1 if ((h >> log2(dim)) & 1) == 0 else -1`` — the
+    standard signed feature-hashing trick (Weinberger et al. 2009),
+    with the sign drawn from the bit just above the index bits so both
+    are mirrored exactly by integer arithmetic in the Python golden.
+    Execution shape is the same skew-immune explode -> hash-aggregate
+    with ``dim`` fixed-width LONG slots as ``minhash_signatures``;
+    components are integral (sums of +-1), so the double array is
+    exact and order-independent. NULL text must be coalesced by the
+    caller (same contract as ``minhash_signatures``)."""
+    from .dedup import shingle_array_expr
+
+    if dim & (dim - 1):
+        raise ValueError(f"dim must be a power of two, got {dim}")
+    bits = dim.bit_length() - 1
+    sh = shingle_array_expr(F.col(text_col), shingle_k)
+    exploded = docs.select(F.col(id_col), F.explode(sh).alias("_h"))
+    sign = F.when(
+        F.pmod(F.shiftright(F.col("_h"), bits), F.lit(2)) == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    sums = [
+        F.sum(F.when(F.pmod(F.col("_h"), F.lit(dim)) == d, sign)
+              .otherwise(F.lit(0.0))).alias(f"_e{d}")
+        for d in range(dim)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*sums)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_e{d}") for d in range(dim)]).alias("emb"),
+        )
+    )
+
+
 def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", n_lists: int = 16,
@@ -241,26 +321,12 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
         )
         .withColumn("_dots", _centroid_dots_expr(F.col("_cv"), cn))
-        .withColumn(
-            "_list",
-            (F.array_position(F.col("_dots"), F.array_max(F.col("_dots"))) - 1)
-            .cast("int"),
-        )
+        .withColumn("_list", argmax_expr(F.col("_dots")))
         .drop("_dots")
     )
 
     # probe order: dot desc, tie by list index asc
-    zipped = F.arrays_zip(
-        F.col("_dots").alias("d"),
-        F.sequence(F.lit(0), F.lit(n_lists - 1)).alias("i"),
-    )
-    ordered = F.array_sort(
-        zipped,
-        lambda a, b: F.when(a["d"] > b["d"], F.lit(-1))
-        .when(a["d"] < b["d"], F.lit(1))
-        .otherwise((a["i"] - b["i"]).cast("int")),
-    )
-    probe = F.transform(F.slice(ordered, 1, nprobe), lambda s: s["i"].cast("int"))
+    probe = probe_lists_expr(F.col("_dots"), n_lists, nprobe)
     q = (
         queries.select(qid_col, F.col(vec_col).alias("_qv"))
         .withColumn("_dots", _centroid_dots_expr(F.col("_qv"), cn))

@@ -139,3 +139,121 @@ def test_sync_drops_deleted_buckets(spark, tmp_root):
     got = _collect_sigs(_inc_view(idx))
     assert len(got) == 1 and got[0][0].startswith("r1")
     assert s["changed"] or s["removed"]
+
+
+# ---------------------------------------------------------------------------
+# IVF incremental index
+# ---------------------------------------------------------------------------
+
+def _full_ivf(sink, idx):
+    """Full recompute of (key, list, emb) over the sink's CURRENT state
+    with the index's fixed quantizer — what the maintained index must
+    equal."""
+    from scylla_cdc_java_spark.datapipe.similarity import (
+        _centroid_dots_expr,
+        argmax_expr,
+        hashed_embeddings,
+    )
+
+    docs = sink.read().select(
+        F.concat_ws("\x1f", "repo", "path").alias("_doc_key"),
+        F.coalesce("content", F.lit("")).alias("_text"),
+    )
+    emb = hashed_embeddings(docs, text_col="_text", id_col="_doc_key",
+                            dim=idx.dim, shingle_k=idx.shingle_k)
+    out = emb.withColumn(
+        "list", argmax_expr(_centroid_dots_expr(F.col("emb"),
+                                                idx.centroids())))
+    return sorted((r["_doc_key"], r["list"], tuple(r["emb"]))
+                  for r in out.collect())
+
+
+def _collect_ivf(idx):
+    return sorted(
+        (r["_doc_key"], r["list"], tuple(r["emb"]))
+        for r in idx.assignments().select(
+            F.concat_ws("\x1f", "repo", "path").alias("_doc_key"),
+            "list", "emb").collect()
+    )
+
+
+def test_incremental_ivf_matches_full_recompute(spark, tmp_root):
+    from scylla_cdc_java_spark.datapipe.incremental import IncrementalIVFIndex
+
+    world = generate_world(SPEC)
+    info = write_world(world, f"{tmp_root}/ivf_world")
+    target = f"{tmp_root}/ivf_target"
+    cfg = EngineConfig(window_length_limit_ms=30_000, num_buckets=64,
+                       compact_threshold=4)
+    eng = Engine(spark, info["log_dir"], info["generations_path"], target,
+                 cfg=cfg)
+    idx = IncrementalIVFIndex(spark, f"{tmp_root}/ivf_index",
+                              text_col="content", dim=16, n_lists=4)
+
+    sync_log = []
+    real_merge = eng.sink.merge
+
+    def merge_and_sync(*a, **kw):
+        stats = real_merge(*a, **kw)
+        sync_log.append(idx.sync(eng.sink))
+        return stats
+
+    eng.sink.merge = merge_and_sync
+    stats = eng.replay()
+    eng.sink.merge = real_merge
+    assert stats.windows >= 2 and len(sync_log) >= 2
+
+    # (a) incrementality: later windows rescan only their touched buckets
+    total_buckets = len(eng.sink._load_root()["bucket_index"])
+    assert any(0 < len(s["changed"]) < total_buckets for s in sync_log[1:]), (
+        [len(s["changed"]) for s in sync_log], total_buckets)
+
+    # (b) the quantizer trained once (first data-bearing sync) and the
+    # maintained assignments equal a full recompute over the final table
+    assert idx.centroids() is not None
+    assert _collect_ivf(idx) == _full_ivf(eng.sink, idx)
+
+    # idle sync: nothing changed -> nothing rescanned
+    s = idx.sync(eng.sink)
+    assert s["changed"] == [] and s["removed"] == []
+
+    # compaction reshapes manifests; resync rescans; equality holds and
+    # the quantizer did NOT retrain (membership-only maintenance)
+    cn_before = idx.centroids().tolist()
+    eng.sink.compact()
+    s = idx.sync(eng.sink)
+    assert len(s["changed"]) > 0
+    assert idx.centroids().tolist() == cn_before
+    assert _collect_ivf(idx) == _full_ivf(eng.sink, idx)
+
+    # a fresh process (new instance, same path) loads the persisted
+    # quantizer and assigns identically
+    idx2 = IncrementalIVFIndex(spark, f"{tmp_root}/ivf_index",
+                               text_col="content", dim=16, n_lists=4)
+    assert idx2.centroids().tolist() == cn_before
+    assert idx2.sync(eng.sink)["changed"] == []
+
+    # ANN off the maintained index: querying a doc's own content must
+    # surface that doc among the top hits at cosine ~1
+    row = eng.sink.read().where(F.col("content").isNotNull()) \
+        .orderBy("repo", "path").first()
+    qdf = spark.createDataFrame([(0, row["content"])], "qid int, text string")
+    hits = idx.search(qdf, k=5, nprobe=2).collect()
+    assert hits and all(h["rank"] <= 5 for h in hits)
+    want_key = f"{row['repo']}\x1f{row['path']}"
+    assert any(h["doc_key"] == want_key and h["cosine"] > 0.999
+               for h in hits), hits
+
+
+def test_hashed_embeddings_match_python_mirror(spark):
+    from scylla_cdc_java_spark.datapipe.golden import _hashed_embedding
+    from scylla_cdc_java_spark.datapipe.similarity import hashed_embeddings
+
+    texts = ["alpha beta gamma delta", "x", "", "one two one two one",
+             "  spaced   out   tokens  "]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = {r["doc_id"]: list(r["emb"])
+           for r in hashed_embeddings(df, dim=16, shingle_k=3).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _hashed_embedding(t, 3, 16), (i, t)
