@@ -253,7 +253,8 @@ def main() -> None:
     # refresh.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     probe_path = next(
-        (p for name in ("SCALING_r4.json", "SCALING_r3.json", "SCALING_r2.json")
+        (p for name in ("SCALING_r5.json", "SCALING_r4.json",
+                        "SCALING_r3.json", "SCALING_r2.json")
          if os.path.exists(p := os.path.join(repo_dir, name))),
         None,
     )

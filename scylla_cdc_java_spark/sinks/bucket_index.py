@@ -222,7 +222,11 @@ class ShardedBucketIndex(MutableMapping):
             self._cache[rel] = dict(self._overlay)
             self._deltas.append(rel)
             if self._delta_view is not None:
-                self._delta_view.update(self._overlay)
+                # copy-on-write: ``copy()`` shares the merged-delta view
+                # with its parent; updating it in place would leak this
+                # commit's entries into an index object whose delta list
+                # does NOT reference the new file
+                self._delta_view = {**self._delta_view, **self._overlay}
             self._overlay = {}
         if len(self._deltas) >= fold_deltas:
             self._fold(version)

@@ -108,6 +108,26 @@ def test_copy_isolates_overlay(tmp_path):
     assert isinstance(d, dict)
 
 
+def test_flush_does_not_leak_into_parent_delta_view(tmp_path):
+    """``copy()`` shares the lazily-merged delta view with its parent;
+    ``flush()`` on the copy must not mutate it in place — the parent's
+    delta LIST doesn't reference the new delta file, so in-place update
+    would make the parent index report entries its own descriptor
+    cannot resolve (an aborted-commit retry would then skip rewriting
+    them)."""
+    idx, _ = _mk(tmp_path, {"0": _entry(0)})
+    idx["1"] = _entry(1)
+    idx.flush(version=2)  # parent now has one delta file
+    _ = idx["1"]          # materialize the parent's merged delta view
+    c = copy_index(idx)
+    c["2"] = _entry(2)
+    c.flush(version=3)
+    assert "2" in c
+    assert "2" not in idx, "flush leaked into the parent's delta view"
+    # parent still resolves its own entries
+    assert idx["1"]["path"] == _entry(1)["path"]
+
+
 def test_sink_migrates_legacy_inline_root(tmp_path):
     """A round-4 root with an inline bucket_index migrates to the
     sharded layout on its next commit, preserving every entry."""

@@ -144,6 +144,17 @@ def _child(argv: list[str]) -> None:
 # predict. One file ~ this many bytes of extra work.
 FILE_COST_BYTES = int(os.environ.get("FLEET_FILE_COST_BYTES", "4000000"))
 
+# Per-GROUP fixed cost, in byte-equivalents. Fitted on the round-5
+# 64.9M-event scaling campaign (SCALING_r5.json): across all 4x1c
+# attempts, two executors with IDENTICAL byte+file loads but 6 vs 8
+# owned groups differed by a systematic ~16.5 s of wall, i.e. each
+# owned group carries ~8.2 s of load-independent work (per-window
+# per-group scan/checkpoint bookkeeping) at an effective ~36 MB/s —
+# ~3e8 byte-equivalents. Balancing on bytes alone left a reproducible
+# 22% wall spread (events were within 3.5%); with this term the model
+# predicts all four walls within ~5%.
+GROUP_COST_BYTES = int(os.environ.get("FLEET_GROUP_COST_BYTES", str(3 * 10**8)))
+
 
 def _group_sizes(log_dir: str) -> dict[int, tuple[int, int]]:
     """(bytes, n_files) per stream_group across generations — pure
@@ -178,24 +189,81 @@ def assign_groups(log_dir: str, n_execs: int) -> list[list[str]]:
     key: with zipf 1.3 the hottest repo alone is ~25% of the log) is
     SPLIT into k clustering-key salt shards ``"g/k/i"`` — the Engine's
     group_salt mechanism keeps the shards key-disjoint. Tokens: ``"g"``
-    whole group, ``"g/k/i"`` salt residue i of k."""
+    whole group, ``"g/k/i"`` salt residue i of k.
+
+    The greedy LPT seed is then improved by a pairwise swap/move
+    refinement on the modeled max load: with the per-group constant in
+    the model (GROUP_COST_BYTES), plain LPT reliably lands ~8% off the
+    balance lower bound on the 32-group worlds (it front-loads big
+    groups, then strands the last small groups on whichever bin is
+    lightest regardless of its group count)."""
     stats = _group_sizes(log_dir)
     cost = {g: b + c * FILE_COST_BYTES for g, (b, c) in stats.items()}
-    total = sum(cost.values())
+    total = sum(cost.values()) + GROUP_COST_BYTES * len(cost)
     fair = total / n_execs
     items: list[tuple[str, float]] = []
     for g, sz in cost.items():
+        sz += GROUP_COST_BYTES
         if sz > 1.05 * fair and n_execs > 1:
+            # a salt shard keeps the whole group's per-group fixed cost
+            # (it scans the group's files and filters), so model each
+            # residue as fixed + its byte share
             k = min(n_execs, max(2, round(sz / (0.5 * fair))))
-            items += [(f"{g}/{k}/{i}", sz / k) for i in range(k)]
+            items += [
+                (f"{g}/{k}/{i}",
+                 GROUP_COST_BYTES + (sz - GROUP_COST_BYTES) / k)
+                for i in range(k)
+            ]
         else:
             items.append((str(g), sz))
+
+    # LPT seed
     loads = [0.0] * n_execs
     out: list[list[str]] = [[] for _ in range(n_execs)]
     for tok, sz in sorted(items, key=lambda kv: -kv[1]):
         e = loads.index(min(loads))
         out[e].append(tok)
         loads[e] += sz
+    szof = dict(items)
+
+    # swap/move refinement: greedily shrink the max load until no
+    # single move or swap improves it (deterministic, O(moves * n^2),
+    # n = 32-ish groups — microseconds against multi-minute replays)
+    def _load(e: int) -> float:
+        return sum(szof[t] for t in out[e])
+
+    improved = True
+    while improved:
+        improved = False
+        loads = [_load(e) for e in range(n_execs)]
+        hi = loads.index(max(loads))
+        best: tuple | None = None  # (new_max_contrib, kind, ...)
+        cur_max = loads[hi]
+        for lo in range(n_execs):
+            if lo == hi:
+                continue
+            for ti in out[hi]:
+                # move ti -> lo
+                new_pair_max = max(loads[hi] - szof[ti],
+                                   loads[lo] + szof[ti])
+                if new_pair_max < cur_max - 1e-9 and (
+                        best is None or new_pair_max < best[0]):
+                    best = (new_pair_max, "move", lo, ti, None)
+                for tj in out[lo]:
+                    # swap ti <-> tj
+                    d = szof[ti] - szof[tj]
+                    new_pair_max = max(loads[hi] - d, loads[lo] + d)
+                    if new_pair_max < cur_max - 1e-9 and (
+                            best is None or new_pair_max < best[0]):
+                        best = (new_pair_max, "swap", lo, ti, tj)
+        if best is not None:
+            _, kind, lo, ti, tj = best
+            out[hi].remove(ti)
+            out[lo].append(ti)
+            if kind == "swap":
+                out[lo].remove(tj)
+                out[hi].append(tj)
+            improved = True
     return out
 
 
