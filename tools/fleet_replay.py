@@ -144,16 +144,30 @@ def _child(argv: list[str]) -> None:
 # predict. One file ~ this many bytes of extra work.
 FILE_COST_BYTES = int(os.environ.get("FLEET_FILE_COST_BYTES", "4000000"))
 
-# Per-GROUP fixed cost, in byte-equivalents. Fitted on the round-5
-# 64.9M-event scaling campaign (SCALING_r5.json): across all 4x1c
-# attempts, two executors with IDENTICAL byte+file loads but 6 vs 8
-# owned groups differed by a systematic ~16.5 s of wall, i.e. each
-# owned group carries ~8.2 s of load-independent work (per-window
-# per-group scan/checkpoint bookkeeping) at an effective ~36 MB/s —
-# ~3e8 byte-equivalents. Balancing on bytes alone left a reproducible
-# 22% wall spread (events were within 3.5%); with this term the model
-# predicts all four walls within ~5%.
+# Per-GROUP fixed cost, in byte-equivalents — the FALLBACK when the
+# per-group key/event statistics below are unavailable. Originally
+# fitted on the round-5 64.9M-event scaling campaign (two executors
+# with byte+file loads identical within 3.5% but 6 vs 8 owned groups
+# walled ~16.5 s apart ⇒ ~8.2 s/group at 1 core). A byte-matched
+# few-hot-groups vs many-tail-groups A/B plus a whole-vs-salt-shard
+# decomposition then identified the MECHANISM: the cost is per
+# DISTINCT KEY, not per group — wall ≈ 14.3 s/GB scanned
+# + 2.0 s/M-events + 18.1 s/M-distinct-keys at 1 core (the key term is
+# the fold's output rows: shuffle + state-row parquet encode). It
+# masquerades as a flat per-group constant because index-stable
+# grouping spreads repos ~uniformly over groups (~222 k keys/group on
+# the bench worlds) while zipf skews EVENTS per group — so at fixed
+# bytes, more groups = proportionally more keys. The flat constant
+# stays as the statless fallback; the primary model below measures
+# keys directly and generalizes to key-clustered logs.
 GROUP_COST_BYTES = int(os.environ.get("FLEET_GROUP_COST_BYTES", str(3 * 10**8)))
+
+# Primary cost-model weights, in byte-equivalents (relative costs are
+# all LPT needs; normalized to scan-bytes = 1). From the fit above:
+# one event ≈ 2.0/14.3 s per M/GB ≈ 140 B-eq; one distinct key ≈
+# 18.1/14.3 ≈ 1265 B-eq.
+EVENT_COST_BYTES = float(os.environ.get("FLEET_EVENT_COST_BYTES", "140"))
+KEY_COST_BYTES = float(os.environ.get("FLEET_KEY_COST_BYTES", "1265"))
 
 
 def _group_sizes(log_dir: str) -> dict[int, tuple[int, int]]:
@@ -178,40 +192,72 @@ def _group_sizes(log_dir: str) -> dict[int, tuple[int, int]]:
     return sizes
 
 
+def _group_stats(log_dir: str) -> dict[int, tuple[int, int]] | None:
+    """(events, distinct keys) per stream_group, one vectorized DuckDB
+    scan over the log (projection-pruned to the partition column + the
+    two key columns). ~2 s on an 8 GB log; runs once per campaign in
+    the parent, never in the timed path. None when DuckDB is absent or
+    the log lacks the expected columns (fallback: flat GROUP_COST)."""
+    try:
+        import duckdb
+        rows = duckdb.connect().execute(
+            "SELECT stream_group, count(*), "
+            "       count(DISTINCT repo || '/' || path) "
+            "FROM parquet_scan(?, hive_partitioning=1) GROUP BY 1",
+            [os.path.join(log_dir, "*", "*", "*", "*.parquet")],
+        ).fetchall()
+        return {int(g): (int(ev), int(k)) for g, ev, k in rows}
+    except Exception:
+        return None
+
+
 def assign_groups(log_dir: str, n_execs: int) -> list[list[str]]:
     """LPT (longest-processing-time) bin packing of stream groups onto
-    executors by a cost model of on-disk bytes + per-file fixed cost —
-    balances zipf-skewed shards far better than the modulo split (the
-    reference's token-ring split is ring-balanced, not load-balanced; we
-    can do better because the log already exists).
+    executors by a measured cost model — balances zipf-skewed shards
+    far better than the modulo split (the reference's token-ring split
+    is ring-balanced, not load-balanced; we can do better because the
+    log already exists).
+
+    Cost model (fitted, see GROUP_COST_BYTES comment): scan bytes
+    + per-file overhead + per-event processing + per-distinct-key
+    output cost. The key term matters because the fold's output —
+    shuffle rows, state-table writes — scales with keys, and zipf-tail
+    groups carry ~4x the keys per byte of zipf-head groups.
 
     A group larger than the per-executor fair share (a hot partition
     key: with zipf 1.3 the hottest repo alone is ~25% of the log) is
     SPLIT into k clustering-key salt shards ``"g/k/i"`` — the Engine's
     group_salt mechanism keeps the shards key-disjoint. Tokens: ``"g"``
-    whole group, ``"g/k/i"`` salt residue i of k.
+    whole group, ``"g/k/i"`` salt residue i of k. A salt shard scans
+    the WHOLE group's bytes/files (the hash filter can't prune parquet)
+    but processes only its 1/k share of events and keys — measured
+    directly: whole hot group 37.5 s vs quarter-shard 21.3 s, i.e.
+    scan ≈ 42% of a hot group's cost is replicated per shard.
 
     The greedy LPT seed is then improved by a pairwise swap/move
-    refinement on the modeled max load: with the per-group constant in
-    the model (GROUP_COST_BYTES), plain LPT reliably lands ~8% off the
-    balance lower bound on the 32-group worlds (it front-loads big
-    groups, then strands the last small groups on whichever bin is
-    lightest regardless of its group count)."""
-    stats = _group_sizes(log_dir)
-    cost = {g: b + c * FILE_COST_BYTES for g, (b, c) in stats.items()}
-    total = sum(cost.values()) + GROUP_COST_BYTES * len(cost)
+    refinement on the modeled max load: plain LPT reliably lands ~8%
+    off the balance lower bound on the 32-group worlds (it front-loads
+    big groups, then strands the last small groups on whichever bin is
+    lightest regardless of its accumulated fixed costs)."""
+    sizes = _group_sizes(log_dir)
+    stats = _group_stats(log_dir)
+    scan = {g: b + c * FILE_COST_BYTES for g, (b, c) in sizes.items()}
+    if stats is not None and set(stats) >= set(scan):
+        proc = {g: stats[g][0] * EVENT_COST_BYTES
+                + stats[g][1] * KEY_COST_BYTES for g in scan}
+    else:
+        proc = {g: GROUP_COST_BYTES for g in scan}
+    total = sum(scan.values()) + sum(proc.values())
     fair = total / n_execs
     items: list[tuple[str, float]] = []
-    for g, sz in cost.items():
-        sz += GROUP_COST_BYTES
+    for g in scan:
+        sz = scan[g] + proc[g]
         if sz > 1.05 * fair and n_execs > 1:
-            # a salt shard keeps the whole group's per-group fixed cost
-            # (it scans the group's files and filters), so model each
-            # residue as fixed + its byte share
+            # each salt shard re-scans the whole group (the residue
+            # filter evaluates post-read) but processes 1/k of it
             k = min(n_execs, max(2, round(sz / (0.5 * fair))))
             items += [
-                (f"{g}/{k}/{i}",
-                 GROUP_COST_BYTES + (sz - GROUP_COST_BYTES) / k)
+                (f"{g}/{k}/{i}", scan[g] + proc[g] / k)
                 for i in range(k)
             ]
         else:
