@@ -153,7 +153,21 @@ def lsh_candidates_from_signatures(sig: DataFrame, id_col: str = "doc_id",
     sig array<bigint>)`` — the query side of a continuously-maintained
     signature index (datapipe/incremental.py): signatures are paid for
     incrementally as the CDC stream touches documents; candidate
-    generation stays the same bucketed equi-join, never all-pairs."""
+    generation stays bucketed, never all-pairs.
+
+    Plan shape (round 5 rewrite): group each (band, bucket) and expand
+    pairs INSIDE the bucket with array expressions — the bucket list is
+    bounded by ``max_bucket`` so the expansion is O(max_bucket²) per
+    group, all whole-stage-codegen. This replaces the earlier
+    count→left_semi→self-join pipeline: 3 exchanges instead of 5, the
+    signature subtree evaluated once instead of relying on exchange
+    reuse across three consumers, and the skew guard is an anti-join
+    against the OVER-limit bucket set — typically a handful of
+    degenerate buckets (empty/boilerplate docs), AQE-broadcastable —
+    where the old semi-join shuffled an OK-set nearly as large as the
+    banded rows themselves. The guard runs before ``collect_list`` so a
+    degenerate bucket (at 100 TB: billions of identical docs in one
+    bucket) never materializes an aggregation buffer."""
     rows_per_band = num_hashes // bands
     banded = sig.select(
         id_col,
@@ -164,24 +178,35 @@ def lsh_candidates_from_signatures(sig: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("band", "bucket"),
     )
-    # prune degenerate buckets (skew guard)
-    ok = (
+    # skew guard: drop degenerate buckets. `bad` is tiny (over-limit
+    # buckets only) so the anti-join broadcasts under AQE; its subtree
+    # shares the banded exchange with the main path (ReusedExchange).
+    bad = (
         banded.groupBy("band", "bucket").count()
-        .where(F.col("count") <= max_bucket)
+        .where(F.col("count") > max_bucket)
         .drop("count")
     )
-    banded = banded.join(ok, ["band", "bucket"], "left_semi")
-    x = banded.alias("x")
-    y = banded.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    banded = banded.join(bad, ["band", "bucket"], "left_anti")
+    ids = F.col("_ids")
+    # pairs (ids[i], ids[j]) for i < j over the sorted in-bucket list;
+    # only attributes are referenced inside the lambdas (PLANS.md §6's
+    # higher-order-function rule), and slice past the end yields []
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .where(F.size(ids) >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
         .groupBy(
-            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+            F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b")
         )
         .agg(F.count("*").alias("n_shared_bands"))
     )
