@@ -53,7 +53,9 @@ import uuid
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import (
+    DataFrame, Observation, SparkSession, Window, functions as F,
+)
 
 from .dedup import lsh_candidates_from_signatures, minhash_signatures
 from .similarity import (
@@ -176,22 +178,25 @@ class _BucketSyncedIndex:
             # dynamic partition overwrite: replaces exactly the
             # partitions present in this batch, leaves the rest alone
             out = out.repartition(
-                max(len(changed) // 4, 1), F.col(BUCKET_COL)).persist()
+                max(len(changed) // 4, 1), F.col(BUCKET_COL))
             # buckets that still HAVE rows, from THIS batch's output —
             # not from listdir, which also shows partitions written by
             # earlier syncs (a changed bucket whose rows were all
             # deleted writes no partition now, but its stale dir from a
-            # previous sync would make it look present)
-            with_rows = {
-                str(r[0]) for r in out.select(BUCKET_COL).distinct().collect()
-            }
+            # previous sync would make it look present). Observation
+            # rides the WRITE action itself (collect_set is bounded by
+            # len(changed)), so the sync costs ONE Spark job — the old
+            # persist + distinct().collect() materialized the whole
+            # read→sign→join pipeline a second time just to learn this.
+            obs = Observation()
             (
-                out.write.mode("overwrite")
+                out.observe(obs, F.collect_set(F.col(BUCKET_COL)).alias("b"))
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(BUCKET_COL)
                 .parquet(self._data_dir)
             )
-            out.unpersist()
+            with_rows = {str(b) for b in obs.get["b"]}
             emptied = [b for b in changed if b not in with_rows]
 
         for b in removed + emptied:
