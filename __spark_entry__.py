@@ -805,6 +805,68 @@ def q_ivf_incremental(spark, sf_dir):
     return _digest_agg(asg, line)
 
 
+def _entry_sh_spec():
+    """World for the incremental-SimHash contract entry (own
+    world/target: a cold replay with a sync after every window, not a
+    catch-up over another entry's warm cache)."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=53, n_events=3000,
+                               ttl_fraction=0.0)
+
+
+def q_simhash_incremental(spark, sf_dir):
+    """Incremental SimHash index over the CDC-MAINTAINED table
+    (datapipe/incremental.py) — the third bucket-synced index, closing
+    the dedup triple (MinHash / SimHash / IVF): replay a deterministic
+    world window-by-window with a 64-bit SimHash signature index
+    synced after EVERY window — each sync rescans only the buckets
+    that window's delta segments touched — then digest the final
+    index. The oracle inlines the pure-Python golden's signatures
+    computed in ONE shot over the independent oracle's final state, so
+    a hash match proves N windows of incremental maintenance == full
+    recompute == the independent Python implementation (token hash,
+    bit-majority votes, and the empty-content branch all mirrored)."""
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import FIELD_SEP
+    from scylla_cdc_java_spark.datapipe.incremental import (
+        IncrementalSimHashIndex,
+    )
+
+    spec = _entry_sh_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    target = os.path.join(
+        base, f"target_sh_{spec.cache_key()}_{ENTRY_TARGET_VERSION}")
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"], target,
+        cfg=EngineConfig(window_length_limit_ms=30_000),
+    )
+    idx = IncrementalSimHashIndex(spark, target + "_shidx",
+                                  text_col="content")
+    real_merge = eng.sink.merge
+
+    def merge_and_sync(*a, **kw):
+        stats = real_merge(*a, **kw)
+        idx.sync(eng.sink)
+        return stats
+
+    eng.sink.merge = merge_and_sync
+    eng.replay()
+    eng.sink.merge = real_merge
+    # warm-cache runs skip replay entirely (done checkpoint): one
+    # catch-up sync covers them; on cold runs it is a fingerprint no-op
+    idx.sync(eng.sink)
+    sig = idx.signatures()
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.col("repo"),
+        F.col("path"),
+        F.col("simhash").cast("string"),
+    )
+    return _digest_agg(sig, line)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -842,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_incremental": q_dedup_incremental,
         "ivf_incremental": q_ivf_incremental,
+        "simhash_incremental": q_simhash_incremental,
     }
 
 
@@ -980,6 +1043,12 @@ def _golden_oracles() -> dict[str, str]:
             f"select cast({nv} as bigint) as n_rows, "
             f"cast({vsum} as bigint) as state_sum, "
             f"cast({vxor} as bigint) as state_xor"
+        )
+        ns, ssum, sxor = G.golden_incremental_simhash_digest(_entry_sh_spec())
+        out["simhash_incremental"] = (
+            f"select cast({ns} as bigint) as n_rows, "
+            f"cast({ssum} as bigint) as state_sum, "
+            f"cast({sxor} as bigint) as state_xor"
         )
         out["multimodal_resize"] = _values_sql(
             G.golden_resize(sf),

@@ -271,6 +271,57 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text",
     )
 
 
+def simhash_candidates_from_signatures(sig: DataFrame,
+                                       id_col: str = "doc_id",
+                                       prefix_bits: int = 16,
+                                       max_bucket: int = 64) -> DataFrame:
+    """Near-duplicate candidate pairs from PRECOMPUTED 64-bit SimHash
+    signatures ``(id_col, simhash bigint)`` — the query side of a
+    continuously-maintained SimHash index (datapipe/incremental.py):
+    signatures are paid for incrementally as the CDC stream touches
+    documents; candidate generation stays bucketed, never all-pairs.
+
+    Docs sharing the top ``prefix_bits`` of the signature are
+    candidates (prefix banding under Hamming proximity, the same rule
+    as ``simhash_buckets``). Pair expansion happens INSIDE each prefix
+    bucket with array expressions — the same plan shape as
+    ``lsh_candidates_from_signatures``'s round-5 rewrite — and the
+    ``max_bucket`` guard runs BEFORE ``collect_list`` so a degenerate
+    bucket (at 100 TB: billions of near-empty docs hashing to one
+    prefix) never materializes an aggregation buffer. Each doc owns
+    exactly ONE prefix bucket, so pairs are already distinct — no
+    dedup exchange needed (unlike the banded-LSH path, where a pair
+    can collide in several bands). Returns (id_a, id_b)."""
+    bucketed = sig.select(
+        F.col(id_col),
+        F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+        .alias("bucket"),
+    )
+    bad = (
+        bucketed.groupBy("bucket").count()
+        .where(F.col("count") > max_bucket)
+        .drop("count")
+    )
+    bucketed = bucketed.join(bad, ["bucket"], "left_anti")
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .where(F.size(ids) >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_k: int = 3) -> DataFrame:

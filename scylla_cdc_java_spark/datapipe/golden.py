@@ -489,6 +489,44 @@ def golden_incremental_sigs_digest(spec, num_hashes: int = 64,
     return (len(lines), *digest_lines(lines))
 
 
+def golden_incremental_simhash_digest(spec, table=None
+                                      ) -> tuple[int, int, int]:
+    """(n_docs, state_sum, state_xor) over the SimHash index an
+    incrementally-maintained ``IncrementalSimHashIndex`` must hold
+    after the CDC world `spec` has fully replayed: the independent
+    Python oracle's final state, one 64-bit signature per surviving
+    row (token hash mirrors ``dedup.token_hash64_expr``, majority rule
+    mirrors the JVM bit votes, empty/whitespace-only content → 0 like
+    the JVM's trimmed-empty branch), digest lines
+    ``pk...FIELD_SEP simhash``. Because the golden is computed from
+    the FINAL state in one shot, a hash match proves incremental
+    maintenance == full recompute — the contract's
+    ``simhash_incremental`` gate."""
+    from ..generator import generate_world
+    from ..model import DEFAULT_TABLE
+    from ..oracle import final_state, replay
+
+    table = table or DEFAULT_TABLE
+    rows = final_state(replay(generate_world(spec)["events"], table=table))
+    lines = []
+    for r in rows:
+        toks = (r.get("content") or "").split()
+        sig = 0
+        if toks:
+            hs = [
+                (zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())
+                for w in toks
+            ]
+            for bit in range(64):
+                if sum(1 if (h >> bit) & 1 else -1 for h in hs) > 0:
+                    sig |= 1 << bit
+        signed = sig - (1 << 64) if sig >= (1 << 63) else sig
+        lines.append(FIELD_SEP.join(
+            [str(r[c]) for c in table.primary_key] + [str(signed)]
+        ))
+    return (len(lines), *digest_lines(lines))
+
+
 def _hashed_embedding(text: str, k: int, dim: int) -> list[float]:
     """Mirror of similarity.hashed_embeddings: signed feature hashing
     over the distinct crc32 shingle set — index from the low log2(dim)

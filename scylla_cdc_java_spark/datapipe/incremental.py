@@ -6,11 +6,13 @@ continuously over the table ``Engine`` maintains. This module keeps
 derived indexes in lockstep with a ``ParquetMergeSink`` table,
 recomputing state ONLY for the buckets the CDC stream touched since
 the last sync — O(touched) work per window against a table whose total
-size is unbounded. Two indexes share one maintenance core
+size is unbounded. Three indexes share one maintenance core
 (``_BucketSyncedIndex``):
 
 - ``IncrementalMinHashIndex`` — MinHash signatures, answering banded
   LSH near-duplicate candidate queries off the maintained state;
+- ``IncrementalSimHashIndex`` — 64-bit SimHash signatures, answering
+  prefix-bucket near-dup candidate queries off the maintained state;
 - ``IncrementalIVFIndex`` — feature-hashed embeddings + IVF coarse-
   quantizer list assignments, answering ANN probes off the maintained
   state.
@@ -57,7 +59,12 @@ from pyspark.sql import (
     DataFrame, Observation, SparkSession, Window, functions as F,
 )
 
-from .dedup import lsh_candidates_from_signatures, minhash_signatures
+from .dedup import (
+    lsh_candidates_from_signatures,
+    minhash_signatures,
+    simhash_buckets,
+    simhash_candidates_from_signatures,
+)
 from .similarity import (
     _centroid_dots_expr,
     _dot,
@@ -275,6 +282,54 @@ class IncrementalMinHashIndex(_BucketSyncedIndex):
         return lsh_candidates_from_signatures(
             sig, id_col="_doc_key", num_hashes=self.num_hashes,
             bands=self.bands, max_bucket=max_bucket)
+
+
+class IncrementalSimHashIndex(_BucketSyncedIndex):
+    """A 64-bit SimHash index ``(doc id columns..., simhash bigint)``
+    stored as bucket-partitioned parquet, maintained incrementally
+    against a ``ParquetMergeSink`` table — the third bucket-synced
+    index, sharing the MinHash/IVF maintenance core.
+
+    The signature recipe is ``dedup.simhash_buckets`` — a pure-JVM
+    explode→64-bit-vote hash aggregate whose token hash is mirrored
+    exactly by the pure-Python golden — so an incrementally-maintained
+    index is value-identical to a full recompute over the current
+    table (the property the ``simhash_incremental`` contract digest
+    checks). The prefix bucket is NOT stored: it is a bit-shift of the
+    signature, derived at query time, so changing ``prefix_bits``
+    never invalidates the maintained state."""
+
+    data_subdir = "simhash"
+    value_cols = ("simhash",)
+
+    def __init__(self, spark: SparkSession, path: str,
+                 text_col: str = "content", prefix_bits: int = 16):
+        super().__init__(spark, path, text_col)
+        self.prefix_bits = prefix_bits
+
+    def _values(self, docs: DataFrame, sink) -> DataFrame:
+        sh = simhash_buckets(docs, text_col="_text", id_col="_doc_key",
+                             prefix_bits=self.prefix_bits)
+        return docs.join(sh.select("_doc_key", "simhash"), "_doc_key")
+
+    # -- query side ------------------------------------------------------
+    def signatures(self) -> DataFrame:
+        """The current index: (pk columns..., simhash, __bucket)."""
+        return self.data()
+
+    def candidates(self, id_cols: list[str],
+                   max_bucket: int = 64) -> DataFrame:
+        """Prefix-bucket near-dup candidate pairs straight off the
+        maintained index — no signature recomputation. ``id_cols``:
+        the pk columns to concatenate into the pair ids."""
+        sig = self.signatures().select(
+            F.concat_ws("\x1f", *[F.col(c) for c in id_cols])
+            .alias("_doc_key"),
+            "simhash",
+        )
+        return simhash_candidates_from_signatures(
+            sig, id_col="_doc_key", prefix_bits=self.prefix_bits,
+            max_bucket=max_bucket)
 
 
 class IncrementalIVFIndex(_BucketSyncedIndex):

@@ -142,6 +142,88 @@ def test_sync_drops_deleted_buckets(spark, tmp_root):
 
 
 # ---------------------------------------------------------------------------
+# SimHash incremental index
+# ---------------------------------------------------------------------------
+
+def test_incremental_simhash_matches_full_recompute(spark, tmp_root):
+    from scylla_cdc_java_spark.datapipe.dedup import simhash_buckets
+    from scylla_cdc_java_spark.datapipe.incremental import (
+        IncrementalSimHashIndex,
+    )
+
+    def full_recompute(sink):
+        docs = sink.read().select(
+            F.concat_ws("\x1f", "repo", "path").alias("_doc_key"),
+            F.coalesce("content", F.lit("")).alias("_text"),
+        )
+        return sorted(
+            (r["_doc_key"], r["simhash"])
+            for r in simhash_buckets(
+                docs, text_col="_text", id_col="_doc_key").collect()
+        )
+
+    def inc_view(idx):
+        return sorted(
+            (r["_doc_key"], r["simhash"])
+            for r in idx.signatures().select(
+                F.concat_ws("\x1f", "repo", "path").alias("_doc_key"),
+                "simhash").collect()
+        )
+
+    world = generate_world(SPEC)
+    info = write_world(world, f"{tmp_root}/sh_world")
+    target = f"{tmp_root}/sh_target"
+    cfg = EngineConfig(window_length_limit_ms=30_000, num_buckets=64,
+                       compact_threshold=4)
+    eng = Engine(spark, info["log_dir"], info["generations_path"], target,
+                 cfg=cfg)
+    idx = IncrementalSimHashIndex(spark, f"{tmp_root}/sh_index",
+                                  text_col="content")
+
+    sync_log = []
+    real_merge = eng.sink.merge
+
+    def merge_and_sync(*a, **kw):
+        stats = real_merge(*a, **kw)
+        sync_log.append(idx.sync(eng.sink))
+        return stats
+
+    eng.sink.merge = merge_and_sync
+    stats = eng.replay()
+    eng.sink.merge = real_merge
+    assert stats.windows >= 2 and len(sync_log) >= 2
+
+    # (a) incrementality: later windows rescan only their touched buckets
+    total_buckets = len(eng.sink._load_root()["bucket_index"])
+    assert any(0 < len(s["changed"]) < total_buckets for s in sync_log[1:]), (
+        [len(s["changed"]) for s in sync_log], total_buckets)
+
+    # (b) equality with a full recompute over the final table
+    assert inc_view(idx) == full_recompute(eng.sink)
+
+    # idle sync: nothing changed -> nothing rescanned
+    s = idx.sync(eng.sink)
+    assert s["changed"] == [] and s["removed"] == []
+
+    # compaction reshapes manifests; resync rescans; equality holds
+    eng.sink.compact()
+    s = idx.sync(eng.sink)
+    assert len(s["changed"]) > 0
+    assert inc_view(idx) == full_recompute(eng.sink)
+
+    # the maintained index answers prefix-bucket candidate queries
+    # directly; pairs are ordered and consistent with the signatures:
+    # a candidate pair shares the top prefix_bits of its simhashes
+    pairs = idx.candidates(id_cols=["repo", "path"]).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    sigs = dict(inc_view(idx))
+    for r in pairs:
+        pa = (sigs[r["id_a"]] & ((1 << 64) - 1)) >> (64 - idx.prefix_bits)
+        pb = (sigs[r["id_b"]] & ((1 << 64) - 1)) >> (64 - idx.prefix_bits)
+        assert pa == pb, (r, pa, pb)
+
+
+# ---------------------------------------------------------------------------
 # IVF incremental index
 # ---------------------------------------------------------------------------
 
