@@ -6,12 +6,19 @@ table — including rows that were updated or deleted along the way and
 buckets reshaped by compaction.
 """
 
+import json
+import os
+import subprocess
+import sys
+
 from pyspark.sql import functions as F
 
 from scylla_cdc_java_spark import Engine, GenSpec, generate_world, write_world
 from scylla_cdc_java_spark.datapipe.dedup import minhash_signatures
 from scylla_cdc_java_spark.datapipe.incremental import IncrementalMinHashIndex
 from scylla_cdc_java_spark.model import EngineConfig
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SPEC = GenSpec(seed=88, n_events=1500, n_repos=40, paths_per_repo=6,
                n_generations=2, streams_per_generation=4,
@@ -139,6 +146,68 @@ def test_sync_drops_deleted_buckets(spark, tmp_root):
     got = _collect_sigs(_inc_view(idx))
     assert len(got) == 1 and got[0][0].startswith("r1")
     assert s["changed"] or s["removed"]
+
+
+def test_external_index_maintainer_during_replay(spark, tmp_root):
+    """The real deployment shape: ``tools/index_maintainer.py`` in a
+    SEPARATE OS process keeps a MinHash index in lockstep while the
+    engine replays a multi-window world (with the writer's own
+    piggyback compaction racing it). No coordination between the two
+    processes exists or is needed — each sync reads one atomically-
+    published root, and a sync racing a commit is caught up exactly by
+    the next fingerprint diff. The final index must equal a full
+    recompute over the final table."""
+    spec = GenSpec(seed=33, n_events=2500, n_repos=25, paths_per_repo=8,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=300_000, p_range_delete=0.05)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/im_world")
+    target = f"{tmp_root}/im_target"
+    index_dir = f"{tmp_root}/im_index"
+    out = f"{tmp_root}/maintainer.jsonl"
+
+    proc = subprocess.Popen(
+        [sys.executable,
+         os.path.join(REPO_ROOT, "tools", "index_maintainer.py"),
+         target, index_dir, "--kind", "minhash", "--interval", "0.3",
+         "--until-done", "--max-rounds", "400", "--cores", "2",
+         "--out", out],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        eng = Engine(
+            spark, info["log_dir"], info["generations_path"], target,
+            # many small windows; piggyback compaction ON so external
+            # syncs also race compaction-reshaped manifests
+            cfg=EngineConfig(window_length_limit_ms=20_000,
+                             compact_threshold=8),
+        )
+        stats = eng.replay()
+        assert stats.windows >= 10, stats.windows
+        proc.wait(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    assert proc.returncode == 0
+
+    rounds = [json.loads(line) for line in open(out)]
+    # exit is the FIXPOINT: done observed AND nothing left to rescan
+    assert rounds and rounds[-1]["writer_done"]
+    assert rounds[-1]["changed"] == 0 and rounds[-1]["removed"] == 0
+    # at least one MID-replay sync was incremental: it rescanned some
+    # but not all of the table's buckets
+    total_buckets = len(eng.sink._load_root()["bucket_index"])
+    assert any(0 < r["changed"] < total_buckets for r in rounds), (
+        [(r["changed"], r["writer_done"]) for r in rounds], total_buckets)
+
+    # the externally-maintained index equals a full recompute; an
+    # in-process catch-up sync over the same state dir is a no-op
+    idx = IncrementalMinHashIndex(spark, index_dir, text_col="content")
+    s = idx.sync(eng.sink)
+    assert s["changed"] == [] and s["removed"] == []
+    assert _collect_sigs(_inc_view(idx)) == _collect_sigs(
+        _full_recompute(eng.sink))
 
 
 # ---------------------------------------------------------------------------
