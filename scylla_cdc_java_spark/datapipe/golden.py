@@ -142,28 +142,38 @@ def golden_jaccard(sf_dir: str, pairs: list[tuple[int, int]],
     return sorted(out)
 
 
+def _simhash64(text: str | None) -> int:
+    """Signed 64-bit SimHash of one document — the single Python
+    mirror of ``dedup.simhash_buckets`` (used by both the static
+    ``golden_simhash`` and the incremental digest, so the JVM recipe
+    has exactly one golden counterpart to stay in sync with). Token
+    hash mirrors dedup.token_hash64_expr: crc32(token) << 32 |
+    crc32(reversed token) — pure bit ops, the ANSI-safe widening the
+    JVM expression uses; empty/whitespace-only text → 0 like the
+    JVM's trimmed-empty branch."""
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    hs = [
+        (zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())
+        for w in toks
+    ]
+    sig = 0
+    for bit in range(64):
+        if sum(1 if (h >> bit) & 1 else -1 for h in hs) > 0:
+            sig |= 1 << bit
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
 def golden_simhash(sf_dir: str, prefix_bits: int = 16
                    ) -> list[tuple[int, int, int]]:
-    """(doc_id, simhash int64, bucket). Token hash mirrors
-    dedup.token_hash64_expr: crc32(token) << 32 | crc32(reversed token)
-    — pure bit ops, the ANSI-safe widening the JVM expression uses."""
+    """(doc_id, simhash int64, bucket); per-doc recipe in
+    ``_simhash64``."""
     out = []
     for did, text in _docs(sf_dir):
-        toks = (text or "").split()
-        if not toks:
-            out.append((did, 0, 0))
-            continue
-        hs = [
-            (zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())
-            for w in toks
-        ]
-        sig = 0
-        for bit in range(64):
-            score = sum(1 if (h >> bit) & 1 else -1 for h in hs)
-            if score > 0:
-                sig |= 1 << bit
-        signed = sig - (1 << 64) if sig >= (1 << 63) else sig
-        out.append((did, signed, sig >> (64 - prefix_bits)))
+        signed = _simhash64(text)
+        out.append((did, signed,
+                    (signed & ((1 << 64) - 1)) >> (64 - prefix_bits)))
     return sorted(out)
 
 
@@ -508,22 +518,13 @@ def golden_incremental_simhash_digest(spec, table=None
 
     table = table or DEFAULT_TABLE
     rows = final_state(replay(generate_world(spec)["events"], table=table))
-    lines = []
-    for r in rows:
-        toks = (r.get("content") or "").split()
-        sig = 0
-        if toks:
-            hs = [
-                (zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())
-                for w in toks
-            ]
-            for bit in range(64):
-                if sum(1 if (h >> bit) & 1 else -1 for h in hs) > 0:
-                    sig |= 1 << bit
-        signed = sig - (1 << 64) if sig >= (1 << 63) else sig
-        lines.append(FIELD_SEP.join(
-            [str(r[c]) for c in table.primary_key] + [str(signed)]
-        ))
+    lines = [
+        FIELD_SEP.join(
+            [str(r[c]) for c in table.primary_key]
+            + [str(_simhash64(r.get("content")))]
+        )
+        for r in rows
+    ]
     return (len(lines), *digest_lines(lines))
 
 

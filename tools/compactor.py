@@ -28,6 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from daemon_util import wait_for_manifest, writer_done  # noqa: E402
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -58,9 +60,7 @@ def main() -> None:
     from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
 
     # wait for the writer's first commit (manifest appears)
-    mpath = os.path.join(args.target, "MANIFEST.json")
-    while not os.path.exists(mpath):
-        time.sleep(0.2)
+    wait_for_manifest(args.target)
 
     spark = get_spark(master=f"local[{args.cores}]",
                       shuffle_partitions=args.cores)
@@ -88,12 +88,9 @@ def main() -> None:
             rounds += 1
             if args.once or (args.max_rounds and rounds >= args.max_rounds):
                 break
-            if args.until_done:
-                ckpt = sink.checkpoint() or {}
-                n_shards = len(ckpt.get("shards") or {}) if "shards" in ckpt \
-                    else 1
-                if ckpt.get("done") and n_shards >= args.expect_shards:
-                    break
+            if args.until_done and writer_done(sink.checkpoint(),
+                                               args.expect_shards):
+                break
             time.sleep(args.interval)
     finally:
         if log:

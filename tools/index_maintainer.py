@@ -18,17 +18,25 @@ catch-up exact, never quadratic.
 Usage:
     python tools/index_maintainer.py TARGET INDEX_DIR
         [--kind minhash|simhash|ivf] [--interval 1] [--once]
-        [--until-done] [--expect-shards 1] [--max-rounds N]
-        [--cores 2] [--text-col content] [--out maintainer.jsonl]
+        [--until-done] [--expect-shards 1] [--done-quiet 2]
+        [--max-rounds N] [--cores 2] [--text-col content]
+        [--out maintainer.jsonl]
 
-With --until-done: exits at the FIXPOINT — a sync that both STARTED
-with the writer's checkpoint already done=True (and >= --expect-shards
-shard entries) and found no changed/removed buckets. done alone is not
-enough: the writer's last merge commit carries done=True but its
-piggybacked compaction lands as a separate LATER commit, so the first
-post-done sync can still observe manifest churn. At the fixpoint the
-index's fingerprints equal the final root, so the index left behind
-equals a full recompute over the final table.
+With --until-done: exits (status 0) only after ``--done-quiet``
+CONSECUTIVE syncs that each started with the writer's checkpoint
+already done=True (and >= --expect-shards shard entries) and found no
+changed/removed buckets. One quiet sync is not enough: the writer's
+last merge commit carries done=True but its piggybacked compaction
+lands as a separate LATER commit, so a single post-done quiet sync can
+fall in the gap before that trailing commit. Post-done quiet syncs are
+cheap (a root read, no Spark job), so the extra confirmation rounds
+cost milliseconds plus the sleep interval. Note the index is
+VALUE-correct at any post-done quiet exit regardless — compaction
+only moves manifest pointers, never row content — the confirmation
+rounds are about leaving the fingerprint state at the true fixpoint so
+a follow-up sync is a no-op. If --max-rounds exhausts before the
+fixpoint is confirmed, the exit status is 3 (stale-possible), so
+callers can tell a give-up from a fixpoint.
 """
 
 from __future__ import annotations
@@ -41,7 +49,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from daemon_util import wait_for_manifest, writer_done  # noqa: E402
+
 KINDS = ("minhash", "simhash", "ivf")
+EXIT_STALE_POSSIBLE = 3
 
 
 def _make_index(kind: str, spark, index_dir: str, text_col: str):
@@ -57,7 +68,7 @@ def _make_index(kind: str, spark, index_dir: str, text_col: str):
     return cls(spark, index_dir, text_col=text_col)
 
 
-def main() -> None:
+def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("target")
     ap.add_argument("index_dir")
@@ -65,9 +76,8 @@ def main() -> None:
     ap.add_argument("--interval", type=float, default=1.0)
     ap.add_argument("--once", action="store_true")
     ap.add_argument("--until-done", action="store_true")
-    # same late-shard guard as tools/compactor.py: done only aggregates
-    # shards that HAVE checkpointed
     ap.add_argument("--expect-shards", type=int, default=1)
+    ap.add_argument("--done-quiet", type=int, default=2)
     ap.add_argument("--max-rounds", type=int, default=0)
     ap.add_argument("--cores", type=int, default=2)
     ap.add_argument("--text-col", default="content")
@@ -77,10 +87,7 @@ def main() -> None:
     from scylla_cdc_java_spark.session import get_spark
     from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
 
-    # wait for the writer's first commit (manifest appears)
-    mpath = os.path.join(args.target, "MANIFEST.json")
-    while not os.path.exists(mpath):
-        time.sleep(0.2)
+    wait_for_manifest(args.target)
 
     spark = get_spark(master=f"local[{args.cores}]",
                       shuffle_partitions=args.cores)
@@ -88,17 +95,17 @@ def main() -> None:
     idx = _make_index(args.kind, spark, args.index_dir, args.text_col)
     log = open(args.out, "a") if args.out else None
     rounds = 0
+    quiet_done_streak = 0
+    at_fixpoint = False
     try:
         while True:
-            # read done BEFORE the sync: if the writer had already
-            # finished when this sync started, the sync observes every
-            # commit and is the final word
-            ckpt = sink.checkpoint() or {}
-            n_shards = len(ckpt.get("shards") or {}) if "shards" in ckpt \
-                else 1
-            was_done = bool(ckpt.get("done")) and \
-                n_shards >= args.expect_shards
+            # read done BEFORE the sync: only a sync that STARTED with
+            # done=True is guaranteed to have observed every commit
+            was_done = writer_done(sink.checkpoint(), args.expect_shards)
             s = idx.sync(sink)
+            quiet = not s["changed"] and not s["removed"]
+            quiet_done_streak = quiet_done_streak + 1 \
+                if (was_done and quiet) else 0
             rec = {
                 "ts": round(time.time(), 2),
                 "changed": len(s["changed"]),
@@ -113,16 +120,21 @@ def main() -> None:
                 log.write(line + "\n")
                 log.flush()
             rounds += 1
+            if quiet_done_streak >= max(args.done_quiet, 1):
+                at_fixpoint = True
+                if args.until_done:
+                    break
             if args.once or (args.max_rounds and rounds >= args.max_rounds):
-                break
-            if args.until_done and was_done and not s["changed"] \
-                    and not s["removed"]:
                 break
             time.sleep(args.interval)
     finally:
         if log:
             log.close()
+        spark.stop()
+    if args.until_done and not at_fixpoint:
+        return EXIT_STALE_POSSIBLE
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
