@@ -377,6 +377,71 @@ def test_incremental_simhash_matches_full_recompute(spark, tmp_root):
         assert pa == pb, (r, pa, pb)
 
 
+def test_sync_across_schema_evolution(spark, tmp_root):
+    """Schema evolution must be invisible to a bucket-synced index: a
+    batch ADDING a column (and one omitting ``content`` entirely)
+    changes the table's union schema mid-maintenance, while the index
+    keeps its own stable (pk, sig) shape and stays equal to a full
+    recompute — the read path serves registry columns as NULL where
+    unwritten and the index only consumes pk + text_col."""
+    from scylla_cdc_java_spark.model import OP_ROW_INSERT, OP_ROW_UPDATE, TableConfig
+    from scylla_cdc_java_spark.operators.fold import fold_batch, normalize_log
+    from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+
+    tbl = TableConfig()
+    sid = b"\x0e" * 16
+
+    def batch(rows, cols):
+        data = [
+            (sid, {"ms": r["ms"], "seq": r["seq"]}, r["op"],
+             *[r.get(c) for c in cols])
+            for r in rows
+        ]
+        ddl = (
+            "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+            "`cdc$operation` tinyint, "
+            + ", ".join(f"`{c}` string" for c in cols)
+        )
+        return normalize_log(spark.createDataFrame(data, schema=ddl))
+
+    sink = ParquetMergeSink(spark, f"{tmp_root}/evo_idx_tbl", table=tbl,
+                            num_buckets=8)
+    idx = IncrementalMinHashIndex(spark, f"{tmp_root}/evo_idx",
+                                  text_col="content")
+
+    # batch 1: original schema
+    sink.merge(fold_batch(batch([
+        {"op": OP_ROW_INSERT, "ms": 10, "seq": 0, "repo": "r1", "path": "a",
+         "commit": "c1", "lang": "py", "content": "alpha beta gamma"},
+        {"op": OP_ROW_INSERT, "ms": 11, "seq": 1, "repo": "r2", "path": "b",
+         "commit": "c2", "lang": "py", "content": "delta epsilon"},
+    ], ["repo", "path", "commit", "lang", "content"]), tbl))
+    idx.sync(sink)
+
+    # batch 2: size_bytes ADDED, content updated through the NEW schema
+    sink.merge(fold_batch(batch([
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "r1", "path": "a",
+         "content": "alpha beta gamma zeta", "size_bytes": "21"},
+    ], ["repo", "path", "content", "size_bytes"]), tbl))
+    idx.sync(sink)
+
+    # batch 3: content ABSENT from the log schema entirely — the row's
+    # stored content must survive and the index must not see churn in
+    # the untouched doc's signature
+    sink.merge(fold_batch(batch([
+        {"op": OP_ROW_UPDATE, "ms": 30, "seq": 0, "repo": "r2", "path": "b",
+         "size_bytes": "13"},
+    ], ["repo", "path", "size_bytes"]), tbl))
+    idx.sync(sink)
+
+    assert _collect_sigs(_inc_view(idx)) == _collect_sigs(
+        _full_recompute(sink))
+    # the evolved column is really in the table (evolution happened)
+    assert "size_bytes" in sink.read().columns
+    # and really NOT in the index (stable index schema)
+    assert "size_bytes" not in idx.signatures().columns
+
+
 # ---------------------------------------------------------------------------
 # IVF incremental index
 # ---------------------------------------------------------------------------
