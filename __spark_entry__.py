@@ -867,6 +867,76 @@ def q_simhash_incremental(spark, sf_dir):
     return _digest_agg(sig, line)
 
 
+def _entry_cf_spec():
+    """World for the change-feed (CDC-out) contract entry — own seed,
+    2 generations so the gen-1 barrier is a deterministic boundary
+    BOTH sides can name with zero shared state."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=48, ttl_fraction=0.0)
+
+
+def q_changefeed(spark, sf_dir):
+    """Change feed OUT of the CDC-maintained table
+    (sinks/changefeed.py): replay a 2-generation world, take the
+    snapshot committed at the generation-1 barrier (the engine's
+    windows make 'everything strictly before gen 2' a real commit),
+    then emit the row-level net diff barrier-snapshot -> final table —
+    insert / delete / update_preimage / update_postimage, pruned to
+    buckets whose manifest fingerprint moved — and digest it. The
+    oracle inlines the pure-Python golden: two independent oracle
+    replays (event prefix before the barrier, full log) diffed
+    row-at-a-time. A hash match proves the distributed feed equals the
+    sequential diff — classification, values, and prune set."""
+    import json as _json
+
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import FIELD_SEP, NULL_SENTINEL
+    from scylla_cdc_java_spark.sinks.changefeed import CHANGE_TYPE_COL
+
+    spec = _entry_cf_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    target = os.path.join(
+        base, f"target_cf_{spec.cache_key()}_{ENTRY_TARGET_VERSION}")
+    mark_path = target + "_barrier.json"
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"], target,
+        cfg=EngineConfig(window_length_limit_ms=60_000),
+    )
+    real_merge = eng.sink.merge
+    marks: list[int] = []
+
+    def record_barrier(fold, ckpt=None, **kw):
+        stats = real_merge(fold, ckpt, **kw)
+        # first commit whose checkpoint crossed into generation 2 ==
+        # the snapshot holding exactly the events before gen 2's start
+        if not marks and ckpt and ckpt.get("gen_index") == 1:
+            marks.append(eng.sink._load_root()["version"])
+        return stats
+
+    eng.sink.merge = record_barrier
+    eng.replay()
+    eng.sink.merge = real_merge
+    if marks:
+        with open(mark_path, "w") as f:
+            _json.dump({"version": marks[0]}, f)
+    # warm-cache runs skip replay (done checkpoint) — the barrier
+    # version was persisted next to the cached target on the cold run
+    with open(mark_path) as f:
+        v_barrier = _json.load(f)["version"]
+    feed = eng.sink.changes(v_barrier)
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.col("repo"),
+        F.col("path"),
+        F.col(CHANGE_TYPE_COL),
+        *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
+          for c in ("commit", "lang", "content")],
+    )
+    return _digest_agg(feed, line)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -905,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "ivf_incremental": q_ivf_incremental,
         "simhash_incremental": q_simhash_incremental,
+        "changefeed": q_changefeed,
     }
 
 
@@ -1049,6 +1120,12 @@ def _golden_oracles() -> dict[str, str]:
             f"select cast({ns} as bigint) as n_rows, "
             f"cast({ssum} as bigint) as state_sum, "
             f"cast({sxor} as bigint) as state_xor"
+        )
+        nc, cfsum, cfxor = G.golden_changefeed_digest(_entry_cf_spec())
+        out["changefeed"] = (
+            f"select cast({nc} as bigint) as n_rows, "
+            f"cast({cfsum} as bigint) as state_sum, "
+            f"cast({cfxor} as bigint) as state_xor"
         )
         out["multimodal_resize"] = _values_sql(
             G.golden_resize(sf),

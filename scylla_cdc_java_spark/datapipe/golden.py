@@ -409,6 +409,63 @@ def golden_cdc_digest_postimage(spec, table=None) -> tuple[int, str]:
     return (len(rows), *digest_lines(lines))
 
 
+def golden_changefeed_digest(spec, table=None) -> tuple[int, int, int]:
+    """(n_change_rows, state_sum, state_xor) over the change feed
+    (sinks/changefeed.py) the engine must emit between the snapshot at
+    `spec`'s generation-1 barrier and the final table: two independent
+    pure-Python oracle replays — one over the event prefix strictly
+    before generation 2's start (exactly what the engine has applied
+    when its gen-1 last window commits; plans/windows.py packs that
+    bound as ``pack_time(gen_end_ms, 0) - 1``), one over the full log —
+    diffed into Delta-CDF rows. Lines are
+    ``pk..<SEP>change_type<SEP>values..``; a digest match proves the
+    distributed feed (fingerprint bucket pruning + snapshot reads +
+    full-outer classification) equals the row-at-a-time diff."""
+    from ..generator import generate_world
+    from ..model import DEFAULT_TABLE
+    from ..oracle import final_state, replay
+
+    table = table or DEFAULT_TABLE
+    world = generate_world(spec)
+    events = world["events"]
+    boundary_ms = spec.gen0_start_ms + spec.gen_span_ms
+    n = len(events["ms"])
+    idx = n
+    for i in range(n):
+        if events["ms"][i] >= boundary_ms:
+            idx = i
+            break
+    prefix = {
+        k: v[:idx] if hasattr(v, "__len__") and len(v) == n else v
+        for k, v in events.items()
+    }
+
+    def to_map(ev):
+        rows = final_state(replay(ev, table=table))
+        return {tuple(r[c] for c in table.primary_key): r for r in rows}
+
+    before = to_map(prefix)
+    after = to_map(events)
+    vals = list(table.value_columns)
+
+    def vline(r):
+        return [r[c] if r[c] is not None else NULL_SENTINEL for c in vals]
+
+    lines = []
+    for k, r in after.items():
+        if k not in before:
+            lines.append(FIELD_SEP.join([*k, "insert", *vline(r)]))
+        elif vline(before[k]) != vline(r):
+            lines.append(
+                FIELD_SEP.join([*k, "update_preimage", *vline(before[k])]))
+            lines.append(
+                FIELD_SEP.join([*k, "update_postimage", *vline(r)]))
+    for k, r in before.items():
+        if k not in after:
+            lines.append(FIELD_SEP.join([*k, "delete", *vline(r)]))
+    return (len(lines), *digest_lines(lines))
+
+
 def golden_resize(sf_dir: str, target_w: int = 224, target_h: int = 224
                   ) -> list[tuple[int, int, int, int, int]]:
     """(doc_id, width, height, n_bytes, asset_crc) after the stub

@@ -75,20 +75,9 @@ from .similarity import (
     probe_lists_expr,
 )
 
+from ..sinks.bucket_index import entry_fingerprint as _entry_fingerprint
+
 BUCKET_COL = "__bucket"
-
-
-def _entry_fingerprint(entry: dict) -> str:
-    """Exact change fingerprint for one bucket's root entry: pointer
-    entries change their (write-once) path on every touch; legacy
-    inline entries fall back to their segment lists."""
-    if "path" in entry:
-        return (f"{entry['path']}|{entry.get('n_segs', 0)}|"
-                f"{entry.get('n_tomb_segs', 0)}|{entry.get('tomb_rows', 0)}")
-    return "|".join(
-        sorted(entry.get("segs", [])) + ["#"] +
-        sorted(entry.get("tomb_segs", []))
-    )
 
 
 class _BucketSyncedIndex:

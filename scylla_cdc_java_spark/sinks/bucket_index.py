@@ -68,6 +68,24 @@ def n_shards_for(num_buckets: int, shard_size: int = DEFAULT_SHARD_SIZE):
     return max(1, (int(num_buckets) + shard_size - 1) // shard_size)
 
 
+def entry_fingerprint(entry: dict) -> str:
+    """Exact change fingerprint for one bucket's root entry: pointer
+    entries change their (write-once) path on every touch; legacy
+    inline entries fall back to their segment lists. Equal fingerprints
+    between two snapshots imply the bucket references the identical
+    immutable segment set, hence identical visible content — the
+    no-false-negatives property both the incremental datapipe
+    (datapipe/incremental.py) and the change feed (sinks/changefeed.py)
+    rest on."""
+    if "path" in entry:
+        return (f"{entry['path']}|{entry.get('n_segs', 0)}|"
+                f"{entry.get('n_tomb_segs', 0)}|{entry.get('tomb_rows', 0)}")
+    return "|".join(
+        sorted(entry.get("segs", [])) + ["#"] +
+        sorted(entry.get("tomb_segs", []))
+    )
+
+
 class ShardedBucketIndex(MutableMapping):
     """Lazy mapping ``{bucket_id: root pointer entry}`` backed by
     immutable base-shard files + delta overlays + an in-memory overlay

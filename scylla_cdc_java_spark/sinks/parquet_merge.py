@@ -991,6 +991,17 @@ class ParquetMergeSink:
             live = live | t
         return phys.where(live).select(*sel)
 
+    def changes(self, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Row-level net change feed between two committed snapshots —
+        CDC *out* of this table (Iceberg incremental scan / Delta CDF
+        analog). Pruned to changed buckets via the manifest
+        fingerprints; see sinks/changefeed.py for semantics and the
+        100 TB posture."""
+        from .changefeed import changes_between
+
+        return changes_between(self, from_version, to_version)
+
     # ------------------------------------------------------------------
     # write path: append one delta segment + tombstone ledger entries
     # ------------------------------------------------------------------
