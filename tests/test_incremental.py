@@ -195,10 +195,17 @@ def test_external_index_maintainer_during_replay(spark, tmp_root):
     # exit is the FIXPOINT: done observed AND nothing left to rescan
     assert rounds and rounds[-1]["writer_done"]
     assert rounds[-1]["changed"] == 0 and rounds[-1]["removed"] == 0
-    # at least one MID-replay sync was incremental: it rescanned some
-    # but not all of the table's buckets
+    # the maintainer tracked a MOVING table, not one post-done
+    # recompute: either a sync rescanned a strict subset of the
+    # table's buckets, or (on a loaded host where every inter-sync
+    # gap spans windows touching all buckets) it took repeated
+    # data-bearing syncs before the writer finished — a single
+    # catch-all sync after done fails both arms
     total_buckets = len(eng.sink._load_root()["bucket_index"])
-    assert any(0 < r["changed"] < total_buckets for r in rounds), (
+    partial = any(0 < r["changed"] < total_buckets for r in rounds)
+    live_syncs = sum(
+        1 for r in rounds if r["changed"] and not r["writer_done"])
+    assert partial or live_syncs >= 2, (
         [(r["changed"], r["writer_done"]) for r in rounds], total_buckets)
 
     # the externally-maintained index equals a full recompute; an
