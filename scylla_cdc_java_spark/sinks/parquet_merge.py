@@ -991,6 +991,45 @@ class ParquetMergeSink:
             live = live | t
         return phys.where(live).select(*sel)
 
+    def lookup(self, partition_key, clustering=None,
+               as_of_ms: int | None = None,
+               version: int | None = None) -> DataFrame:
+        """Point read of one partition (optionally one clustering row):
+        the partition key's bucket is computed driver-side with the
+        same ``pmod(xxhash64(pk), num_buckets)`` expression the write
+        path routes by (one scalar no-scan Spark job on literals), so
+        the read opens exactly ONE bucket's segments out of 10^4-10^5 —
+        and on a compacted bucket the pk equality predicate reaches the
+        parquet scan (row-group stats prune within the bucket). This is
+        the serving-style surface a 100 TB table needs: lookup cost is
+        O(one bucket), independent of table size.
+
+        ``partition_key``: scalar or tuple matching
+        ``table.partition_key``; ``clustering`` likewise (optional —
+        None returns the whole partition, the reference's partition
+        read shape)."""
+        pks = (tuple(partition_key)
+               if isinstance(partition_key, (list, tuple))
+               else (partition_key,))
+        if len(pks) != len(self.table.partition_key):
+            raise ValueError(
+                f"partition_key needs {len(self.table.partition_key)} "
+                f"values {self.table.partition_key}, got {len(pks)}")
+        b = self.spark.range(1).select(
+            F.pmod(F.xxhash64(*[F.lit(v) for v in pks]),
+                   F.lit(self.num_buckets)).cast("int").alias("b")
+        ).collect()[0]["b"]
+        df = self.read(as_of_ms=as_of_ms, version=version, buckets=[b])
+        for c, v in zip(self.table.partition_key, pks):
+            df = df.where(F.col(c) == F.lit(v))
+        if clustering is not None:
+            cks = (tuple(clustering)
+                   if isinstance(clustering, (list, tuple))
+                   else (clustering,))
+            for c, v in zip(self.table.clustering_key, cks):
+                df = df.where(F.col(c) == F.lit(v))
+        return df
+
     def changes(self, from_version: int,
                 to_version: int | None = None) -> DataFrame:
         """Row-level net change feed between two committed snapshots —
