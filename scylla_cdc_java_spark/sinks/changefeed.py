@@ -102,13 +102,19 @@ def _align(df: DataFrame, other: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def changes_between(sink, from_version: int,
-                    to_version: int | None = None) -> DataFrame:
+                    to_version: int | None = None,
+                    prune: bool = True) -> DataFrame:
     """Row-level net change feed ``from_version -> to_version`` (None =
     current). Returns ``(pk..., value cols..., collection cols...,
     _change_type)`` where ``_change_type`` ∈ {insert, delete,
     update_preimage, update_postimage}: inserts/post-images carry the
     new snapshot's values, deletes/pre-images the old snapshot's.
-    Unchanged rows never appear, and only changed buckets are read."""
+    Unchanged rows never appear, and only changed buckets are read.
+
+    ``prune=False`` diffs EVERY bucket (O(table) on both sides) — a
+    measurement control for tools/changefeed_bench.py proving the
+    fingerprint prune changes cost, never the answer; production
+    callers leave it True."""
     root_from = sink._load_root(from_version)
     root_to = sink._load_root(to_version)
     pk = list(sink.table.primary_key)
@@ -118,6 +124,11 @@ def changes_between(sink, from_version: int,
 
     if root_from["version"] == root_to["version"]:
         bsel: list[int] = []
+    elif not prune:
+        bsel = sorted(
+            {int(b) for b in root_from["bucket_index"]}
+            | {int(b) for b in root_to["bucket_index"]}
+        )
     else:
         bsel = changed_buckets(sink, from_version, to_version)
     before = sink.read(version=root_from["version"], buckets=bsel)
