@@ -1451,6 +1451,16 @@ class ParquetMergeSink:
             )
             .repartition(n_parts, F.col(BUCKET_COL), F.col("__salt"))
             .drop("__salt")
+            # pk-sorted base segments: parquet row-group min/max stats
+            # on the key columns become tight disjoint ranges, so the
+            # serving lookup path (``lookup()`` pushes pk equality into
+            # the scan) and clustering-range reads skip row groups
+            # INSIDE the one bucket they open; sorted keys also
+            # compress better. Cost is a per-task sort at compaction
+            # time — amortized over every read until the next compact.
+            .sortWithinPartitions(
+                F.col(BUCKET_COL), *[F.col(c) for c in self.table.primary_key]
+            )
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(staging)

@@ -86,3 +86,18 @@ def test_point_lookup_prunes_and_pushes_down(spark, tmp_root):
     assert any("repo" in ln and "path" in ln for ln in pushed), pushed
     assert sink.lookup("o/r1", "a.py").collect()[0]["content"] == "v1"
     assert sink.lookup("o/r2").count() == 0  # deleted partition
+
+    # compacted base files are pk-sorted, so parquet row-group min/max
+    # stats form tight key ranges (what makes the pushed pk filter
+    # actually skip row groups inside the bucket)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    base_files = glob.glob(
+        f"{tmp_root}/lk_target/data/*/base/__bucket=*/*.parquet")
+    assert base_files
+    for f in base_files:
+        t = pq.read_table(f, columns=["repo", "path"])
+        keys = list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+        assert keys == sorted(keys), f
