@@ -46,6 +46,9 @@ as NULL — the same shape a fresh reader of the new snapshot sees.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
@@ -183,6 +186,59 @@ def changes_between(sink, from_version: int,
         *[F.col(f"_e.r.{c}").alias(c) for c in vals],
         F.col("_e.t").alias(CHANGE_TYPE_COL),
     )
+
+
+class ChangeFeedCursor:
+    """Resumable change-feed consumption for a downstream pipeline —
+    the row-level analog of the index maintainer's fingerprint state.
+
+    ``poll()`` returns the feed from the last COMMITTED version to the
+    table's current version (or None when caught up) plus a token;
+    the consumer processes the batch, then calls ``commit(token)`` to
+    advance. The cursor file is replaced atomically AFTER commit, so a
+    crash between poll and commit re-delivers the same span —
+    at-least-once, and safely so: the feed is a net diff whose
+    consumer-side apply (``apply_changes``) is idempotent.
+
+    Retention contract (same as Delta CDF / Iceberg incremental
+    reads): ``vacuum(retain_snapshots=K)`` must keep at least the
+    cursor's committed snapshot readable; a lagging cursor whose
+    snapshot was vacuumed gets a loud FileNotFoundError from
+    ``_load_root``, never a silently-wrong diff."""
+
+    def __init__(self, sink, state_path: str):
+        self.sink = sink
+        self.state_path = state_path
+
+    def position(self) -> int | None:
+        """Last committed version, or None before the first commit."""
+        if not os.path.exists(self.state_path):
+            return None
+        with open(self.state_path) as f:
+            return json.load(f)["version"]
+
+    def poll(self):
+        """(feed DataFrame or None, token). None = caught up. On the
+        FIRST poll (no committed position) the feed is the whole
+        current snapshot as inserts — the bootstrap a new consumer
+        needs — expressed as ``changes(v0=empty)`` semantics via a
+        plain read."""
+        cur = self.sink._load_root()["version"]
+        pos = self.position()
+        if pos is not None and pos >= cur:
+            return None, {"version": cur}
+        if pos is None:
+            snap = self.sink.read(version=cur)
+            feed = snap.withColumn(CHANGE_TYPE_COL, F.lit(CT_INSERT))
+        else:
+            feed = changes_between(self.sink, pos, cur)
+        return feed, {"version": cur}
+
+    def commit(self, token: dict) -> None:
+        tmp = self.state_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": int(token["version"])}, f)
+        os.replace(tmp, self.state_path)
 
 
 def apply_changes(base: DataFrame, feed: DataFrame, pk: list[str],

@@ -167,6 +167,74 @@ def test_schema_evolution_across_feed(spark, tmp_root):
     assert len(feed) == 3
 
 
+def test_cursor_resumable_consumption(spark, tmp_root):
+    """ChangeFeedCursor: bootstrap-as-inserts, poll/commit advance,
+    crash redelivery (poll without commit re-delivers the same span),
+    and an idempotent consumer-side mirror staying equal to the table
+    at every commit point."""
+    from scylla_cdc_java_spark.sinks.changefeed import ChangeFeedCursor
+
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/cur_target", table,
+                            num_buckets=8)
+    cur = ChangeFeedCursor(sink, f"{tmp_root}/cursor.json")
+    ins = {"op": OP_ROW_INSERT, "commit": "c0", "lang": "py"}
+
+    def consume(mirror, feed_rows):
+        # idempotent consumer apply: delete/preimage removes, insert/
+        # postimage upserts — applying the same batch twice is a no-op
+        for r in feed_rows:
+            k = (r["repo"], r["path"])
+            if r[CHANGE_TYPE_COL] in ("delete", "update_preimage"):
+                mirror.pop(k, None)
+        for r in feed_rows:
+            k = (r["repo"], r["path"])
+            if r[CHANGE_TYPE_COL] in ("insert", "update_postimage"):
+                mirror[k] = r["content"]
+        return mirror
+
+    def table_state():
+        return {(r["repo"], r["path"]): r["content"]
+                for r in sink.read().collect()}
+
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "content": "v1"},
+        {**ins, "ms": 10, "seq": 1, "repo": "o/r2", "path": "a.py",
+         "content": "w1"},
+    ]), table), {"step": 1})
+
+    # bootstrap: whole snapshot as inserts
+    feed, tok = cur.poll()
+    rows = feed.collect()
+    assert {r[CHANGE_TYPE_COL] for r in rows} == {"insert"}
+    mirror = consume({}, rows)
+    cur.commit(tok)
+    assert mirror == table_state()
+    assert cur.poll()[0] is None  # caught up
+
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "o/r1",
+         "path": "a.py", "content": "v2"},
+        {"op": OP_ROW_DELETE, "ms": 20, "seq": 1, "repo": "o/r2",
+         "path": "a.py"},
+    ]), table), {"step": 2})
+
+    # crash between poll and commit: the span is re-delivered intact
+    feed1, tok1 = cur.poll()
+    rows1 = sorted(map(tuple, feed1.collect()))
+    feed2, tok2 = cur.poll()
+    assert sorted(map(tuple, feed2.collect())) == rows1
+    assert tok1 == tok2
+    # double-apply (redelivery) is a no-op on the mirror
+    mirror = consume(mirror, feed1.collect())
+    mirror = consume(mirror, feed2.collect())
+    cur.commit(tok2)
+    assert mirror == table_state()
+    assert cur.poll()[0] is None
+    assert cur.position() == sink.manifest()["version"]
+
+
 TAGS_TABLE = TableConfig(collection_columns=("tags",))
 
 
