@@ -235,6 +235,36 @@ def test_cursor_resumable_consumption(spark, tmp_root):
     assert cur.position() == sink.manifest()["version"]
 
 
+def test_cursor_lagging_past_retention_fails_loudly(spark, tmp_root):
+    """The retention contract: a cursor whose committed snapshot was
+    vacuumed must get a FileNotFoundError naming the missing version —
+    never a silently-wrong diff."""
+    import pytest
+
+    from scylla_cdc_java_spark.sinks.changefeed import ChangeFeedCursor
+
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/lag_target", table,
+                            num_buckets=4, reader_lease_s=0)
+    cur = ChangeFeedCursor(sink, f"{tmp_root}/lag_cursor.json")
+    ins = {"op": OP_ROW_INSERT, "commit": "c0", "lang": "py"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "content": "v1"},
+    ]), table), {"step": 1})
+    feed, tok = cur.poll()
+    feed.count()
+    cur.commit(tok)
+    for i in range(3):
+        sink.merge(fold_batch(_batch(spark, [
+            {"op": OP_ROW_UPDATE, "ms": 20 + i, "seq": 0, "repo": "o/r1",
+             "path": "a.py", "content": f"v{2 + i}"},
+        ]), table), {"step": 2 + i})
+    sink.vacuum(retain_snapshots=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed|not found"):
+        cur.poll()[0].count()
+
+
 TAGS_TABLE = TableConfig(collection_columns=("tags",))
 
 
