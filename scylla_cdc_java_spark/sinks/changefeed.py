@@ -245,13 +245,131 @@ def apply_changes(base: DataFrame, feed: DataFrame, pk: list[str],
                   vals: list[str]) -> DataFrame:
     """Reconstruct the new snapshot from the old one plus a feed —
     the consumer-side MERGE a downstream pipeline would run (and the
-    self-consistency check the tests assert): drop keys the feed
-    deletes or pre-images, union in its inserts and post-images."""
-    gone = feed.where(
-        F.col(CHANGE_TYPE_COL).isin(CT_DELETE, CT_UPDATE_PRE)
-    ).select(*pk).distinct()
+    self-consistency check the tests assert): drop EVERY key the feed
+    mentions, then union in its inserts and post-images. Removing all
+    mentioned keys (not just deletes/pre-images) makes the apply
+    IDEMPOTENT: re-applying a span to a base that already absorbed it
+    (at-least-once redelivery after a crash) drops the previously
+    applied images and re-adds the identical final ones, instead of
+    duplicating re-delivered inserts."""
+    gone = feed.select(*pk).distinct()
     incoming = feed.where(
         F.col(CHANGE_TYPE_COL).isin(CT_INSERT, CT_UPDATE_POST)
     ).select(*pk, *vals)
     kept = base.join(gone, on=pk, how="left_anti").select(*pk, *vals)
     return kept.unionByName(incoming)
+
+
+class ParquetMirror:
+    """Downstream materialization of a sink table driven ONLY by its
+    change feed — the consumer the feed exists for, kept runnable as a
+    separate OS process (``tools/mirror_consumer.py``) with zero
+    coordination against a live writer.
+
+    The mirror is bucket-partitioned parquet keyed by the SAME
+    ``pmod(xxhash64(pk), num_buckets)`` routing as the source, so each
+    ``sync()`` is O(changed): poll the cursor's feed span, rewrite only
+    the mirror partitions of buckets whose fingerprints moved in that
+    span (``apply_changes`` over the old partition + the feed's rows),
+    drop emptied partitions (learned from an Observation riding the
+    write job — one Spark job per sync), then commit the cursor. A
+    crash before the cursor commit re-delivers the span; the net-diff
+    apply is idempotent, so redelivery converges. Schema evolution
+    arrives through the feed's union schema — the mirror aligns its
+    stored partitions with typed NULLs on the next rewrite."""
+
+    BUCKET_COL = "__bucket"
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def _cursor_path(self) -> str:
+        return os.path.join(self.path, "_cursor.json")
+
+    def position(self) -> int | None:
+        return ChangeFeedCursor(None, self._cursor_path).position()
+
+    def read(self) -> DataFrame:
+        if not os.path.isdir(self._data_dir) or not any(
+            d.startswith(self.BUCKET_COL + "=")
+            for d in os.listdir(self._data_dir)
+        ):
+            raise FileNotFoundError(
+                f"no mirror data at {self._data_dir}; run sync() first")
+        # partitions written before a schema evolution lack the newer
+        # columns; mergeSchema unions them (read as NULL), the same
+        # shape the source's manifest-registry read gives
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self._data_dir)
+
+    def sync(self, sink) -> dict:
+        import shutil
+        import time as _time
+
+        from pyspark.sql import Observation
+
+        t0 = _time.time()
+        cur = ChangeFeedCursor(sink, self._cursor_path)
+        pos = cur.position()
+        feed, tok = cur.poll()
+        if feed is None:
+            return {"applied_rows": 0, "changed": [], "removed": [],
+                    "version": tok["version"],
+                    "sync_s": _time.time() - t0}
+        pk = list(sink.table.primary_key)
+        vals = [c for c in feed.columns
+                if c not in pk and c != CHANGE_TYPE_COL]
+        if pos is None:
+            # bootstrap: the feed is the whole snapshot as inserts —
+            # every bucket of that snapshot is "changed"
+            changed = sorted(
+                int(b)
+                for b in sink._load_root(tok["version"])["bucket_index"]
+            )
+        else:
+            changed = changed_buckets(sink, pos, tok["version"])
+
+        empty_base = feed.select(*pk, *vals).where(F.lit(False))
+        try:
+            base = self.read().where(
+                F.col(self.BUCKET_COL).isin([int(b) for b in changed]))
+            # a mirror written before a schema evolution lacks the new
+            # columns the feed now carries — align with typed NULLs
+            base = _align(base, empty_base, vals).select(*pk, *vals)
+        except FileNotFoundError:
+            base = empty_base
+        out = (
+            apply_changes(base, feed, pk, vals)
+            .withColumn(self.BUCKET_COL, sink._bucket_expr())
+            .repartition(max(len(changed) // 4, 1),
+                         F.col(self.BUCKET_COL))
+        )
+        obs = Observation()
+        (
+            out.observe(obs, F.collect_set(F.col(self.BUCKET_COL))
+                        .alias("b"),
+                        F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self._data_dir)
+        )
+        with_rows = {str(b) for b in obs.get["b"]}
+        emptied = [b for b in (str(x) for x in changed)
+                   if b not in with_rows]
+        for b in emptied:
+            shutil.rmtree(
+                os.path.join(self._data_dir, f"{self.BUCKET_COL}={b}"),
+                ignore_errors=True,
+            )
+        cur.commit(tok)
+        return {"applied_rows": int(obs.get["n"]), "changed": changed,
+                "removed": emptied, "version": tok["version"],
+                "sync_s": _time.time() - t0}
