@@ -905,22 +905,37 @@ def q_changefeed(spark, sf_dir):
         cfg=EngineConfig(window_length_limit_ms=60_000),
     )
     real_merge = eng.sink.merge
-    marks: list[int] = []
 
     def record_barrier(fold, ckpt=None, **kw):
         stats = real_merge(fold, ckpt, **kw)
-        # first commit whose checkpoint crossed into generation 2 ==
-        # the snapshot holding exactly the events before gen 2's start
-        if not marks and ckpt and ckpt.get("gen_index") == 1:
-            marks.append(eng.sink._load_root()["version"])
+        # generation-0's LAST-window merge, uniquely: gen_index crossed
+        # to 1 AND the generation-barrier pending-range pin is present
+        # (gen-1's own non-last windows carry gen_index==1 but no pin,
+        # so a replay RESUMED mid-gen-1 after a crash can never
+        # mis-record a later snapshot as the barrier). Persisted
+        # immediately, not after replay, so a crash right after the
+        # barrier commit still leaves the mark for the resumed run.
+        if (not os.path.exists(mark_path) and ckpt
+                and ckpt.get("gen_index") == 1
+                and "pending_ranges" in ckpt and not ckpt.get("done")):
+            with open(mark_path, "w") as f:
+                _json.dump(
+                    {"version": eng.sink._load_root()["version"]}, f)
         return stats
 
     eng.sink.merge = record_barrier
     eng.replay()
     eng.sink.merge = real_merge
-    if marks:
-        with open(mark_path, "w") as f:
-            _json.dump({"version": marks[0]}, f)
+    if not os.path.exists(mark_path):
+        # crashed between the barrier commit and the mark write, then
+        # resumed past it: reconstruct from the snapshot history — the
+        # barrier is the FIRST commit whose checkpoint crossed gen 1
+        for v in sorted(eng.sink.snapshots()):
+            ck = eng.sink.manifest(version=v).get("checkpoint") or {}
+            if ck.get("gen_index", 0) >= 1:
+                with open(mark_path, "w") as f:
+                    _json.dump({"version": v}, f)
+                break
     # warm-cache runs skip replay (done checkpoint) — the barrier
     # version was persisted next to the cached target on the cold run
     with open(mark_path) as f:

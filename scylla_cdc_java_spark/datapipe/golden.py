@@ -447,9 +447,20 @@ def golden_changefeed_digest(spec, table=None) -> tuple[int, int, int]:
     before = to_map(prefix)
     after = to_map(events)
     vals = list(table.value_columns)
+    ccols = list(table.collection_columns)
 
     def vline(r):
-        return [r[c] if r[c] is not None else NULL_SENTINEL for c in vals]
+        out = [r[c] if r[c] is not None else NULL_SENTINEL for c in vals]
+        for c in ccols:
+            # canonicalize maps as sorted k=v lists (golden_cdc_digest
+            # shape) — a collection-only cell change must classify as
+            # an update, matching changes_between's null-safe
+            # sorted-entry comparison
+            out.append(
+                ",".join(f"{k}={v}" for k, v in sorted(r[c].items()))
+                if r[c] else NULL_SENTINEL
+            )
+        return out
 
     lines = []
     for k, r in after.items():

@@ -64,13 +64,12 @@ CT_UPDATE_PRE = "update_preimage"
 CT_UPDATE_POST = "update_postimage"
 
 
-def changed_buckets(sink, from_version: int,
-                    to_version: int | None = None) -> list[int]:
-    """Bucket ids whose manifest fingerprint differs between the two
-    snapshots — the exact superset of buckets that can hold changed
-    rows. Driver-side metadata only; no Spark job."""
-    root_from = sink._load_root(from_version)
-    root_to = sink._load_root(to_version)
+def _diff_buckets(root_from: dict, root_to: dict) -> list[int]:
+    """Bucket ids whose manifest fingerprint differs between two
+    ALREADY-LOADED roots — the exact superset of buckets that can hold
+    changed rows. Driver-side dict work only; the sharded index's
+    entries load through the sink's write-once cache, so repeated
+    iteration within a process costs no extra IO."""
     fp_from = {
         str(b): entry_fingerprint(e)
         for b, e in root_from["bucket_index"].items()
@@ -83,6 +82,14 @@ def changed_buckets(sink, from_version: int,
         (int(b) for b in set(fp_from) | set(fp_to)
          if fp_from.get(b) != fp_to.get(b)),
     )
+
+
+def changed_buckets(sink, from_version: int,
+                    to_version: int | None = None) -> list[int]:
+    """Bucket ids whose manifest fingerprint differs between the two
+    snapshots. Driver-side metadata only; no Spark job."""
+    return _diff_buckets(
+        sink._load_root(from_version), sink._load_root(to_version))
 
 
 def _union_cols(root_from: dict, root_to: dict, key: str) -> list[str]:
@@ -120,6 +127,14 @@ def changes_between(sink, from_version: int,
     callers leave it True."""
     root_from = sink._load_root(from_version)
     root_to = sink._load_root(to_version)
+    if root_from["version"] > root_to["version"]:
+        # a reversed pair would run fine but emit a plausible-looking
+        # INVERTED feed (inserts as deletes, images swapped) — make the
+        # misuse loud instead
+        raise ValueError(
+            f"from_version {root_from['version']} is newer than "
+            f"to_version {root_to['version']}; a change feed runs "
+            "forward (use rollback() to move a table backward)")
     pk = list(sink.table.primary_key)
     vcols = _union_cols(root_from, root_to, "value_columns")
     ccols = _union_cols(root_from, root_to, "collection_columns")
@@ -133,7 +148,7 @@ def changes_between(sink, from_version: int,
             | {int(b) for b in root_to["bucket_index"]}
         )
     else:
-        bsel = changed_buckets(sink, from_version, to_version)
+        bsel = _diff_buckets(root_from, root_to)
     before = sink.read(version=root_from["version"], buckets=bsel)
     after = sink.read(version=root_to["version"], buckets=bsel)
     before = _align(before, after, vals)
@@ -223,7 +238,14 @@ class ChangeFeedCursor:
         current snapshot as inserts — the bootstrap a new consumer
         needs — expressed as ``changes(v0=empty)`` semantics via a
         plain read."""
-        cur = self.sink._load_root()["version"]
+        root = self.sink._load_root()
+        cur = root["version"]
+        if cur == 0:
+            # table has no commits yet: _load_root() synthesized an
+            # empty v0 root, but no v0 SNAPSHOT exists to read — there
+            # is nothing to consume; commit(None-version) is a no-op so
+            # a caller blindly committing the token stays correct
+            return None, {"version": None}
         pos = self.position()
         if pos is not None and pos >= cur:
             return None, {"version": cur}
@@ -235,6 +257,8 @@ class ChangeFeedCursor:
         return feed, {"version": cur}
 
     def commit(self, token: dict) -> None:
+        if token.get("version") is None:
+            return  # pre-first-commit poll: nothing to record
         tmp = self.state_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump({"version": int(token["version"])}, f)
@@ -293,19 +317,49 @@ class ParquetMirror:
     def _cursor_path(self) -> str:
         return os.path.join(self.path, "_cursor.json")
 
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.path, "_schema.json")
+
+    def _save_schema(self, schema) -> None:
+        tmp = self._schema_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"ddl": schema.json()}, f)
+        os.replace(tmp, self._schema_path)
+
+    def _load_schema(self):
+        if not os.path.exists(self._schema_path):
+            return None
+        from pyspark.sql.types import StructType
+
+        with open(self._schema_path) as f:
+            return StructType.fromJson(json.loads(json.load(f)["ddl"]))
+
     def position(self) -> int | None:
         return ChangeFeedCursor(None, self._cursor_path).position()
 
     def read(self) -> DataFrame:
-        if not os.path.isdir(self._data_dir) or not any(
+        has_data = os.path.isdir(self._data_dir) and any(
             d.startswith(self.BUCKET_COL + "=")
             for d in os.listdir(self._data_dir)
-        ):
+        )
+        # the mirror's own schema registry (persisted each sync, always
+        # the union schema): explicit-schema reads skip the O(total
+        # files) footer scan mergeSchema would pay, and partitions
+        # written before a schema evolution read the newer columns as
+        # NULL — the same mechanism as the source's manifest registry
+        schema = self._load_schema()
+        if schema is not None:
+            if not has_data:
+                # synced at least once, currently empty (all source
+                # rows deleted) — a legitimately empty table, not an
+                # un-built mirror
+                return self.spark.createDataFrame([], schema=schema)
+            return self.spark.read.schema(schema).parquet(self._data_dir)
+        if not has_data:
             raise FileNotFoundError(
                 f"no mirror data at {self._data_dir}; run sync() first")
-        # partitions written before a schema evolution lack the newer
-        # columns; mergeSchema unions them (read as NULL), the same
-        # shape the source's manifest-registry read gives
+        # pre-registry mirror layout: fall back to footer merging
         return self.spark.read.option("mergeSchema", "true").parquet(
             self._data_dir)
 
@@ -369,6 +423,10 @@ class ParquetMirror:
                 os.path.join(self._data_dir, f"{self.BUCKET_COL}={b}"),
                 ignore_errors=True,
             )
+        # persist the (monotone-union) schema BEFORE the cursor commit:
+        # a crash in between leaves a newer schema with an older cursor,
+        # which the redelivered span simply re-confirms
+        self._save_schema(out.schema)
         cur.commit(tok)
         return {"applied_rows": int(obs.get["n"]), "changed": changed,
                 "removed": emptied, "version": tok["version"],

@@ -1015,6 +1015,15 @@ class ParquetMergeSink:
             raise ValueError(
                 f"partition_key needs {len(self.table.partition_key)} "
                 f"values {self.table.partition_key}, got {len(pks)}")
+        for c, v in zip(self.table.partition_key, pks):
+            # key columns are strings in this model; a differently-typed
+            # literal would xxhash64 to a DIFFERENT bucket than the
+            # write path's string hash — a silent empty result, not an
+            # error — so reject it here
+            if not isinstance(v, str):
+                raise TypeError(
+                    f"partition-key value for {c!r} must be str, got "
+                    f"{type(v).__name__}")
         b = self.spark.range(1).select(
             F.pmod(F.xxhash64(*[F.lit(v) for v in pks]),
                    F.lit(self.num_buckets)).cast("int").alias("b")
@@ -1026,6 +1035,13 @@ class ParquetMergeSink:
             cks = (tuple(clustering)
                    if isinstance(clustering, (list, tuple))
                    else (clustering,))
+            if len(cks) > len(self.table.clustering_key):
+                # a PREFIX of the clustering key is a valid (Cassandra
+                # slice-style) narrowing; EXTRA values would silently
+                # truncate via zip and return a superset
+                raise ValueError(
+                    f"clustering needs <= {len(self.table.clustering_key)}"
+                    f" values {self.table.clustering_key}, got {len(cks)}")
             for c, v in zip(self.table.clustering_key, cks):
                 df = df.where(F.col(c) == F.lit(v))
         return df

@@ -130,6 +130,12 @@ def test_insert_update_delete_and_pruning(spark, tmp_root):
     assert v3 > v2
     assert sink.changes(v2, v3).count() == 0
 
+    # a reversed version pair would emit a plausible INVERTED feed —
+    # it must raise instead
+    import pytest
+    with pytest.raises(ValueError, match="newer than"):
+        sink.changes(v2, v1)
+
 
 def test_schema_evolution_across_feed(spark, tmp_root):
     table = TableConfig()
@@ -179,6 +185,13 @@ def test_cursor_resumable_consumption(spark, tmp_root):
                             num_buckets=8)
     cur = ChangeFeedCursor(sink, f"{tmp_root}/cursor.json")
     ins = {"op": OP_ROW_INSERT, "commit": "c0", "lang": "py"}
+
+    # polling a table with NO commits yet must not crash (no v0
+    # snapshot exists) — and blindly committing that token is a no-op
+    feed0, tok0 = cur.poll()
+    assert feed0 is None
+    cur.commit(tok0)
+    assert cur.position() is None
 
     def consume(mirror, feed_rows):
         # idempotent consumer apply: delete/preimage removes, insert/
@@ -338,6 +351,18 @@ def test_parquet_mirror_sync(spark, tmp_root):
         _json.dump({"version": s2["version"]}, f)
     mirror.sync(sink)
     assert mir_state(cols) == src_state(cols)
+
+    # delete EVERYTHING: a fully-synced empty mirror reads as an empty
+    # frame (schema registry), not as "never built"
+    remaining = [(r["repo"], r["path"])
+                 for r in sink.read().select("repo", "path").collect()]
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_DELETE, "ms": 40, "seq": i, "repo": rp, "path": p}
+        for i, (rp, p) in enumerate(remaining)
+    ]), table), {"step": 9})
+    mirror.sync(sink)
+    assert sink.read().count() == 0
+    assert mirror.read().count() == 0
 
 
 def test_external_mirror_consumer_during_replay(spark, tmp_root):

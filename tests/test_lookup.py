@@ -65,6 +65,16 @@ def test_point_lookup_prunes_and_pushes_down(spark, tmp_root):
     # absent key: empty, same schema as read()
     assert sink.lookup("o/zzz").count() == 0
 
+    # loud misuse: extra clustering values would silently truncate via
+    # zip; a non-string key value would hash to the WRONG bucket
+    import pytest
+    with pytest.raises(ValueError, match="clustering"):
+        sink.lookup("o/r1", ("a.py", "extra"))
+    with pytest.raises(TypeError, match="must be str"):
+        sink.lookup(123)
+    # clustering PREFIX (fewer values) stays a valid slice-style read
+    assert sink.lookup("o/r1", ()).count() == 2
+
     # the scan opened ONLY the key's bucket
     b = spark.range(1).select(
         F.pmod(F.xxhash64(F.lit("o/r1")), F.lit(16)).cast("int").alias("b")
