@@ -906,21 +906,30 @@ def q_changefeed(spark, sf_dir):
     )
     real_merge = eng.sink.merge
 
+    def _write_mark(version: int) -> None:
+        # atomic (tmp + replace): a crash mid-write must never leave a
+        # truncated mark that poisons every later cache-warm run
+        tmp = mark_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"version": version}, f)
+        os.replace(tmp, mark_path)
+
     def record_barrier(fold, ckpt=None, **kw):
-        stats = real_merge(fold, ckpt, **kw)
         # generation-0's LAST-window merge, uniquely: gen_index crossed
-        # to 1 AND the generation-barrier pending-range pin is present
-        # (gen-1's own non-last windows carry gen_index==1 but no pin,
-        # so a replay RESUMED mid-gen-1 after a crash can never
-        # mis-record a later snapshot as the barrier). Persisted
+        # to 1 AND the generation-barrier pending-range pin was present
+        # in the checkpoint AS THE ENGINE BUILT IT — captured BEFORE
+        # the merge call, because merge() back-fills pending_ranges
+        # into the caller's dict, so a post-merge membership test is
+        # vacuously true (gen-1's own non-last windows carry
+        # gen_index==1; a replay RESUMED mid-gen-1 after a crash must
+        # not mis-record one of those as the barrier). Persisted
         # immediately, not after replay, so a crash right after the
         # barrier commit still leaves the mark for the resumed run.
-        if (not os.path.exists(mark_path) and ckpt
-                and ckpt.get("gen_index") == 1
-                and "pending_ranges" in ckpt and not ckpt.get("done")):
-            with open(mark_path, "w") as f:
-                _json.dump(
-                    {"version": eng.sink._load_root()["version"]}, f)
+        had_pin = bool(ckpt) and "pending_ranges" in ckpt
+        stats = real_merge(fold, ckpt, **kw)
+        if (not os.path.exists(mark_path) and had_pin
+                and ckpt.get("gen_index") == 1 and not ckpt.get("done")):
+            _write_mark(eng.sink._load_root()["version"])
         return stats
 
     eng.sink.merge = record_barrier
@@ -933,8 +942,7 @@ def q_changefeed(spark, sf_dir):
         for v in sorted(eng.sink.snapshots()):
             ck = eng.sink.manifest(version=v).get("checkpoint") or {}
             if ck.get("gen_index", 0) >= 1:
-                with open(mark_path, "w") as f:
-                    _json.dump({"version": v}, f)
+                _write_mark(v)
                 break
     # warm-cache runs skip replay (done checkpoint) — the barrier
     # version was persisted next to the cached target on the cold run

@@ -237,15 +237,21 @@ class ChangeFeedCursor:
         FIRST poll (no committed position) the feed is the whole
         current snapshot as inserts — the bootstrap a new consumer
         needs — expressed as ``changes(v0=empty)`` semantics via a
-        plain read."""
-        root = self.sink._load_root()
-        cur = root["version"]
-        if cur == 0:
-            # table has no commits yet: _load_root() synthesized an
-            # empty v0 root, but no v0 SNAPSHOT exists to read — there
-            # is nothing to consume; commit(None-version) is a no-op so
-            # a caller blindly committing the token stays correct
+        plain read.
+
+        The cursor anchors on SNAPSHOT versions, not the live root's
+        version counter: checkpoint-only commits (empty idle windows)
+        bump the counter without writing a ``manifests/vN.json``, so
+        targeting the raw counter would crash on a snapshot-less head
+        — and such commits change no data, so the newest snapshot IS
+        the newest consumable state."""
+        snaps = self.sink.snapshots()
+        if not snaps:
+            # no data commit yet (fresh table, or only checkpoint-only
+            # commits): nothing to consume; commit(None-version) is a
+            # no-op so a caller blindly committing the token is fine
             return None, {"version": None}
+        cur = snaps[-1]
         pos = self.position()
         if pos is not None and pos >= cur:
             return None, {"version": cur}
@@ -380,41 +386,81 @@ class ParquetMirror:
         pk = list(sink.table.primary_key)
         vals = [c for c in feed.columns
                 if c not in pk and c != CHANGE_TYPE_COL]
+        if pos is not None:
+            # value-neutral spans (compaction/vacuum moved fingerprints
+            # but no row changed) would re-materialize identical
+            # partitions; probe the feed once (persisted, so the apply
+            # below reuses the computed rows instead of re-running the
+            # snapshot diff) and just advance the cursor when empty
+            feed = feed.persist()
+            try:
+                is_empty = feed.isEmpty()
+            except BaseException:
+                feed.unpersist()
+                raise
+            if is_empty:
+                feed.unpersist()
+                # still record the span's (union) schema: a span that
+                # added a column and deleted its rows is value-neutral
+                # but schema-advancing, and the registry invariant is
+                # "always the union schema"
+                self._save_schema(
+                    feed.select(*pk, *vals)
+                    .withColumn(self.BUCKET_COL, F.lit(0).cast("int"))
+                    .schema)
+                cur.commit(tok)
+                return {"applied_rows": 0, "changed": [], "removed": [],
+                        "version": tok["version"],
+                        "sync_s": _time.time() - t0}
         if pos is None:
             # bootstrap: the feed is the whole snapshot as inserts —
-            # every bucket of that snapshot is "changed"
-            changed = sorted(
+            # every bucket of that snapshot is "changed", PLUS any
+            # partition a previously-crashed bootstrap left behind
+            # (the writer may have emptied those buckets since; without
+            # this they would never be rewritten or removed)
+            changed = {
                 int(b)
                 for b in sink._load_root(tok["version"])["bucket_index"]
-            )
+            }
+            if os.path.isdir(self._data_dir):
+                changed |= {
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(self._data_dir)
+                    if d.startswith(self.BUCKET_COL + "=")
+                }
+            changed = sorted(changed)
         else:
             changed = changed_buckets(sink, pos, tok["version"])
 
-        empty_base = feed.select(*pk, *vals).where(F.lit(False))
         try:
-            base = self.read().where(
-                F.col(self.BUCKET_COL).isin([int(b) for b in changed]))
-            # a mirror written before a schema evolution lacks the new
-            # columns the feed now carries — align with typed NULLs
-            base = _align(base, empty_base, vals).select(*pk, *vals)
-        except FileNotFoundError:
-            base = empty_base
-        out = (
-            apply_changes(base, feed, pk, vals)
-            .withColumn(self.BUCKET_COL, sink._bucket_expr())
-            .repartition(max(len(changed) // 4, 1),
-                         F.col(self.BUCKET_COL))
-        )
-        obs = Observation()
-        (
-            out.observe(obs, F.collect_set(F.col(self.BUCKET_COL))
-                        .alias("b"),
-                        F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.BUCKET_COL)
-            .parquet(self._data_dir)
-        )
+            empty_base = feed.select(*pk, *vals).where(F.lit(False))
+            try:
+                base = self.read().where(
+                    F.col(self.BUCKET_COL).isin([int(b) for b in changed]))
+                # a mirror written before a schema evolution lacks the
+                # new columns the feed now carries — align, typed NULLs
+                base = _align(base, empty_base, vals).select(*pk, *vals)
+            except FileNotFoundError:
+                base = empty_base
+            out = (
+                apply_changes(base, feed, pk, vals)
+                .withColumn(self.BUCKET_COL, sink._bucket_expr())
+                .repartition(max(len(changed) // 4, 1),
+                             F.col(self.BUCKET_COL))
+            )
+            obs = Observation()
+            (
+                out.observe(obs, F.collect_set(F.col(self.BUCKET_COL))
+                            .alias("b"),
+                            F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(self.BUCKET_COL)
+                .parquet(self._data_dir)
+            )
+        finally:
+            if pos is not None:
+                feed.unpersist()
         with_rows = {str(b) for b in obs.get["b"]}
         emptied = [b for b in (str(x) for x in changed)
                    if b not in with_rows]

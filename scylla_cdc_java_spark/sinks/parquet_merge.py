@@ -1043,6 +1043,12 @@ class ParquetMergeSink:
                     f"clustering needs <= {len(self.table.clustering_key)}"
                     f" values {self.table.clustering_key}, got {len(cks)}")
             for c, v in zip(self.table.clustering_key, cks):
+                if not isinstance(v, str):
+                    # a non-str literal makes Spark cast the STRING
+                    # column (every value casts to NULL) — silent empty
+                    raise TypeError(
+                        f"clustering value for {c!r} must be str, got "
+                        f"{type(v).__name__}")
                 df = df.where(F.col(c) == F.lit(v))
         return df
 

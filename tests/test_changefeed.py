@@ -247,6 +247,16 @@ def test_cursor_resumable_consumption(spark, tmp_root):
     assert cur.poll()[0] is None
     assert cur.position() == sink.manifest()["version"]
 
+    # checkpoint-only commits (idle windows) bump the version counter
+    # WITHOUT writing a snapshot; the cursor anchors on snapshots and
+    # must neither crash on the snapshot-less head nor move
+    sink.commit_checkpoint({"idle": True})
+    assert sink.manifest()["version"] > cur.position()
+    feed3, tok3 = cur.poll()
+    assert feed3 is None
+    cur.commit(tok3)
+    assert cur.position() < sink.manifest()["version"]
+
 
 def test_cursor_lagging_past_retention_fails_loudly(spark, tmp_root):
     """The retention contract: a cursor whose committed snapshot was
@@ -350,6 +360,14 @@ def test_parquet_mirror_sync(spark, tmp_root):
     with open(f"{tmp_root}/mir/_cursor.json", "w") as f:
         _json.dump({"version": s2["version"]}, f)
     mirror.sync(sink)
+    assert mir_state(cols) == src_state(cols)
+
+    # compaction-only span: value-neutral, so the mirror skips the
+    # partition rewrite entirely and just advances its cursor
+    sink.compact()
+    sc = mirror.sync(sink)
+    assert sc["applied_rows"] == 0 and sc["changed"] == []
+    assert mirror.position() == sink.manifest()["version"]
     assert mir_state(cols) == src_state(cols)
 
     # delete EVERYTHING: a fully-synced empty mirror reads as an empty

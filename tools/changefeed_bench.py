@@ -157,6 +157,33 @@ def main() -> None:
         n_cross = changes_between(eng.sink, v_base).count()
         report["cross_range_feed_s"] = round(time.time() - t0, 2)
         report["cross_range_feed_rows"] = n_cross
+
+        # ---- 5. downstream mirror: bootstrap + one tail span ------------
+        from scylla_cdc_java_spark.sinks.changefeed import ParquetMirror
+
+        mirror = ParquetMirror(spark, os.path.join(work, "mirror"))
+        t0 = time.time()
+        boot = mirror.sync(eng.sink)
+        report["mirror_bootstrap_s"] = round(time.time() - t0, 2)
+        report["mirror_bootstrap_rows"] = boot["applied_rows"]
+        tw = generate_world(GenSpec(
+            seed=2100, n_events=1500, n_repos=TAIL_REPOS, n_orgs=1,
+            paths_per_repo=8, n_generations=1, streams_per_generation=4,
+            gen_span_ms=60_000, content_min=64, content_max=256,
+        ))
+        tinfo = write_world(tw, os.path.join(work, "tail_mirror"))
+        log = normalize_log(spark.read.parquet(tinfo["log_dir"]))
+        eng.sink.merge(fold_batch(log, eng.table), eng.sink.checkpoint())
+        t0 = time.time()
+        tail_sync = mirror.sync(eng.sink)
+        report["mirror_tail_sync_s"] = round(time.time() - t0, 2)
+        report["mirror_tail_changed_buckets"] = len(tail_sync["changed"])
+        # equality of the materialization with the source, in-run
+        cnt_m = mirror.read().count()
+        cnt_s = eng.sink.read().count()
+        assert cnt_m == cnt_s, (cnt_m, cnt_s)
+        report["mirror_rows"] = cnt_m
+        report["mirror_equals_source_count"] = True
         report["steal_s_total"] = round(_steal_s() - s0, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -21,10 +21,10 @@ Exit semantics mirror tools/index_maintainer.py: with --until-done,
 status 0 only after --done-quiet CONSECUTIVE syncs that started with
 the writer's checkpoint done=True and found nothing to apply (the
 writer's piggybacked compaction lands as a separate commit after the
-done-carrying merge; a compaction-only span applies zero NET changes —
-the rewrite re-materializes the touched buckets' identical rows — but
-does advance the cursor). --max-rounds exhaustion exits 3 so a
-give-up is distinguishable from a fixpoint.
+done-carrying merge; a value-neutral span is detected from the empty
+feed, skips the partition rewrite entirely, and just advances the
+cursor). --max-rounds exhaustion exits 3 so a give-up is
+distinguishable from a fixpoint.
 """
 
 from __future__ import annotations
