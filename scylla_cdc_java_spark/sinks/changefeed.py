@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from functools import reduce
 
@@ -219,18 +220,59 @@ class ChangeFeedCursor:
     reads): ``vacuum(retain_snapshots=K)`` must keep at least the
     cursor's committed snapshot readable; a lagging cursor whose
     snapshot was vacuumed gets a loud FileNotFoundError from
-    ``_load_root``, never a silently-wrong diff."""
+    ``_load_root``, never a silently-wrong diff.
 
-    def __init__(self, sink, state_path: str):
+    A LIVE cursor does not rely on that count being guessed right: on
+    every poll/commit it drops a TTL'd **cursor lease** under the
+    table's ``cursors/`` dir naming its committed snapshot, and
+    ``vacuum()`` retains leased snapshots regardless of
+    ``retain_snapshots`` (the snapshot-horizon analog of the file-level
+    read leases). The TTL (``lease_ttl_s``, default 1 h; 0 disables)
+    bounds the flip side: an ABANDONED consumer's lease expires and is
+    reaped, so it can never block snapshot GC forever — after expiry
+    the count-based contract (and its loud failure) is back in force.
+    During ``commit()`` the lease covers BOTH the old and new position,
+    so no crash point leaves the consumer's resume snapshot
+    unprotected. ``vacuum(reader_lease_s=0)`` tables ignore cursor
+    leases too — the documented force-immediate-reap switch."""
+
+    def __init__(self, sink, state_path: str,
+                 lease_ttl_s: float = 3600.0):
         self.sink = sink
         self.state_path = state_path
+        self.lease_ttl_s = lease_ttl_s
 
-    def position(self) -> int | None:
-        """Last committed version, or None before the first commit."""
+    def _state(self) -> dict | None:
         if not os.path.exists(self.state_path):
             return None
         with open(self.state_path) as f:
-            return json.load(f)["version"]
+            return json.load(f)
+
+    def position(self) -> int | None:
+        """Last committed version, or None before the first commit."""
+        st = self._state()
+        return None if st is None else st["version"]
+
+    # -- cursor lease ----------------------------------------------------
+    def _cursor_id(self, st: dict | None) -> str:
+        """Stable consumer identity: created on first use, persisted in
+        the cursor state file so restarts refresh the SAME lease file
+        (a lost state file mints a new id; the orphan lease expires)."""
+        if st and st.get("id"):
+            return st["id"]
+        return uuid.uuid4().hex
+
+    def _write_lease(self, cursor_id: str, versions: list[int]) -> None:
+        if self.sink is None or self.lease_ttl_s <= 0 or not versions:
+            return
+        cdir = os.path.join(self.sink.path, "cursors")
+        os.makedirs(cdir, exist_ok=True)
+        full = os.path.join(cdir, f"{cursor_id}.json")
+        tmp = full + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"versions": sorted({int(v) for v in versions}),
+                       "expiry": time.time() + self.lease_ttl_s}, f)
+        os.replace(tmp, full)
 
     def poll(self):
         """(feed DataFrame or None, token). None = caught up. On the
@@ -244,7 +286,28 @@ class ChangeFeedCursor:
         bump the counter without writing a ``manifests/vN.json``, so
         targeting the raw counter would crash on a snapshot-less head
         — and such commits change no data, so the newest snapshot IS
-        the newest consumable state."""
+        the newest consumable state.
+
+        Polling the HEAD of a table under an aggressive concurrent
+        vacuum is inherently racy: the snapshot listed newest can be
+        superseded and reaped before this poll finishes planning over
+        it. That race is detected (the tagged FileNotFoundError names
+        the vanished version) and absorbed by re-polling — nothing was
+        committed, so a retry is always safe. Only the cursor's own
+        COMMITTED snapshot going missing is a real retention lapse,
+        and that stays a loud error."""
+        last_err = None
+        for _ in range(6):
+            try:
+                return self._poll_once()
+            except FileNotFoundError as e:
+                gone = getattr(e, "snapshot_version", None)
+                if gone is None or gone == self.position():
+                    raise
+                last_err = e  # vacuumed head: list again and re-plan
+        raise last_err
+
+    def _poll_once(self):
         snaps = self.sink.snapshots()
         if not snaps:
             # no data commit yet (fresh table, or only checkpoint-only
@@ -252,7 +315,19 @@ class ChangeFeedCursor:
             # no-op so a caller blindly committing the token is fine
             return None, {"version": None}
         cur = snaps[-1]
-        pos = self.position()
+        st = self._state()
+        pos = None if st is None else st["version"]
+        if pos is not None:
+            # refresh the lease and extend it over the TARGET head as
+            # well: the span's both endpoints are protected from the
+            # instant they are chosen, not only at commit time (the
+            # commit-time lease write alone races a vacuum whose
+            # cursor scan already happened — the quad campaign's
+            # observed failure). The bootstrap poll (pos None) skips
+            # this: nothing is committed yet, so any vanished-head
+            # race self-heals by re-polling, never a retention lapse.
+            self._write_lease(self._cursor_id(st),
+                              [pos] if pos >= cur else [pos, cur])
         if pos is not None and pos >= cur:
             return None, {"version": cur}
         if pos is None:
@@ -265,10 +340,36 @@ class ChangeFeedCursor:
     def commit(self, token: dict) -> None:
         if token.get("version") is None:
             return  # pre-first-commit poll: nothing to record
+        new_v = int(token["version"])
+        st = self._state()
+        cursor_id = self._cursor_id(st)
+        old_pos = None if st is None else st["version"]
+        # lease BOTH endpoints before moving the state: a crash between
+        # the two writes leaves the union protected; after the state
+        # lands the lease narrows to the new position alone
+        self._write_lease(
+            cursor_id,
+            [v for v in (old_pos, new_v) if v is not None])
         tmp = self.state_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"version": int(token["version"])}, f)
+            json.dump({"version": new_v, "id": cursor_id}, f)
         os.replace(tmp, self.state_path)
+        self._write_lease(cursor_id, [new_v])
+
+
+def _is_transient_read_race(e: BaseException) -> bool:
+    """True when a Spark-side error says files/paths the plan resolved
+    no longer exist — the signature of reading a just-superseded
+    snapshot while an aggressive concurrent vacuum reaps it (the
+    JVM-level twin of the tagged FileNotFoundError from ``_load_root``).
+    A consumer that has not yet committed its cursor can always replan
+    from fresh metadata, so these are retryable, exactly like Delta's
+    FileReadException → refresh-and-retry guidance."""
+    s = str(e)
+    return any(marker in s for marker in (
+        "FileNotFoundException", "PATH_NOT_FOUND", "FILE_NOT_EXIST",
+        "does not exist",
+    ))
 
 
 def apply_changes(base: DataFrame, feed: DataFrame, pk: list[str],
@@ -310,9 +411,10 @@ class ParquetMirror:
 
     BUCKET_COL = "__bucket"
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, lease_ttl_s: float = 3600.0):
         self.spark = spark
         self.path = path
+        self.lease_ttl_s = lease_ttl_s
         os.makedirs(path, exist_ok=True)
 
     @property
@@ -370,13 +472,39 @@ class ParquetMirror:
             self._data_dir)
 
     def sync(self, sink) -> dict:
+        """One consumption step; see class docstring. Like
+        ``ChangeFeedCursor.poll``, a sync planning against the moving
+        HEAD of an aggressively-vacuumed table can have its target
+        snapshot reaped mid-plan — the cursor commits only at the very
+        end, so the whole step is safely retryable; the cursor's own
+        committed snapshot going missing stays a loud retention
+        error."""
+        last_err = None
+        for _ in range(6):
+            try:
+                return self._sync_once(sink)
+            except FileNotFoundError as e:
+                gone = getattr(e, "snapshot_version", None)
+                if gone is not None and gone == self.position():
+                    raise  # resume snapshot vacuumed: retention lapse
+                if gone is None and not _is_transient_read_race(e):
+                    raise
+                last_err = e
+            except Exception as e:  # JVM-side file-vanished twins
+                if not _is_transient_read_race(e):
+                    raise
+                last_err = e
+        raise last_err
+
+    def _sync_once(self, sink) -> dict:
         import shutil
         import time as _time
 
         from pyspark.sql import Observation
 
         t0 = _time.time()
-        cur = ChangeFeedCursor(sink, self._cursor_path)
+        cur = ChangeFeedCursor(sink, self._cursor_path,
+                               lease_ttl_s=self.lease_ttl_s)
         pos = cur.position()
         feed, tok = cur.poll()
         if feed is None:

@@ -323,13 +323,20 @@ class ParquetMergeSink:
         normalize transparently to inline entries."""
         if version is not None:
             snap = os.path.join(self.path, "manifests", f"v{version}.json")
-            if not os.path.exists(snap):
-                raise FileNotFoundError(
+            try:
+                with open(snap) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                # tag the version so consumers can tell "my resume
+                # snapshot is gone" (retention lapse, loud) from "the
+                # head I just listed was vacuumed under me" (transient
+                # against an aggressive concurrent vacuum — re-poll)
+                err = FileNotFoundError(
                     f"snapshot v{version} not found (vacuumed or never "
                     f"committed); available: {self.snapshots()}"
                 )
-            with open(snap) as f:
-                m = json.load(f)
+                err.snapshot_version = int(version)
+                raise err from None
         elif not os.path.exists(self._manifest_path):
             m = {
                 "version": 0,
@@ -1615,13 +1622,48 @@ class ParquetMergeSink:
         roots = [self._load_root()]
         cur_version = roots[0]["version"]
         snaps = self.snapshots()
-        retained = snaps[-retain_snapshots:] if retain_snapshots > 0 else []
+        retained = list(
+            snaps[-retain_snapshots:]) if retain_snapshots > 0 else []
+        # cursor leases: a live change-feed consumer's committed
+        # snapshot (changefeed.ChangeFeedCursor) is retained regardless
+        # of the count — the snapshot-horizon analog of the file-level
+        # read leases; expired cursor leases are reaped, restoring the
+        # count-based retention contract for abandoned consumers
+        cursor_versions = self._live_cursor_versions()
+        snap_dir = os.path.join(self.path, "manifests")
+        if cursor_versions and self.reader_lease_s > 0:
+            # publication grace, only on tables that HAVE live feed
+            # consumers: a consumer leases a snapshot within
+            # milliseconds of listing it, but this vacuum's cursor
+            # scan may predate that write by the whole root-loading
+            # phase — so also retain any snapshot younger than one
+            # lease interval, making "head listed => lease lands in
+            # time" true by construction. Tables without consumers
+            # keep prompt count-based reaping.
+            now0 = time.time()
+            for v in snaps:
+                if v in retained or v == cur_version:
+                    continue
+                try:
+                    age = now0 - os.path.getmtime(
+                        os.path.join(snap_dir, f"v{v}.json"))
+                except OSError:
+                    continue
+                if age < self.reader_lease_s:
+                    cursor_versions.add(v)
+        for v in sorted(cursor_versions):
+            if v in snaps and v not in retained:
+                retained.append(v)
         for v in retained:
             if v != cur_version:
                 roots.append(self._load_root(version=v))
-        snap_dir = os.path.join(self.path, "manifests")
+        # re-scan cursor leases at the last responsible moment: a lease
+        # published while the roots above were loading must win over
+        # this vacuum's earlier snapshot of the cursor dir
+        final_leased = self._live_cursor_versions()
         for v in snaps:
-            if v not in retained and v != cur_version:
+            if v not in retained and v != cur_version \
+                    and v not in final_leased:
                 try:
                     os.remove(os.path.join(snap_dir, f"v{v}.json"))
                 except OSError:
@@ -1726,6 +1768,39 @@ class ParquetMergeSink:
                 if not os.listdir(bfull):
                     os.rmdir(bfull)
         return removed
+
+    def _live_cursor_versions(self) -> set:
+        """Snapshot versions named by unexpired cursor lease files under
+        ``cursors/`` (dropped by ``changefeed.ChangeFeedCursor``) —
+        ``vacuum()`` retains these regardless of ``retain_snapshots``.
+        Expired and corrupt lease files are reaped here. Honoring is
+        gated on ``reader_lease_s > 0``, the same force-immediate-reap
+        switch as the file-level read leases."""
+        out: set = set()
+        cdir = os.path.join(self.path, "cursors")
+        if self.reader_lease_s <= 0 or not os.path.isdir(cdir):
+            return out
+        now = time.time()
+        for cf in os.listdir(cdir):
+            if not cf.endswith(".json"):
+                continue
+            full = os.path.join(cdir, cf)
+            try:
+                with open(full) as f:
+                    lease = json.load(f)
+            except (OSError, ValueError):
+                # written atomically (tmp + replace), so unreadable ==
+                # corrupt; reap once it can no longer be a live lease
+                with contextlib.suppress(OSError):
+                    if now - os.path.getmtime(full) > self.reader_lease_s:
+                        os.remove(full)
+                continue
+            if lease.get("expiry", 0) < now:
+                with contextlib.suppress(OSError):
+                    os.remove(full)
+                continue
+            out.update(int(v) for v in lease.get("versions", ()))
+        return out
 
     def _pin_files(self, m: dict) -> None:
         """Record the file set a just-resolved lazy read references (see

@@ -23,6 +23,8 @@ from scylla_cdc_java_spark.operators.fold import fold_batch, normalize_log
 from scylla_cdc_java_spark.oracle import final_state, replay
 from scylla_cdc_java_spark.sinks.changefeed import (
     CHANGE_TYPE_COL,
+    CT_UPDATE_POST,
+    CT_UPDATE_PRE,
     apply_changes,
     changed_buckets,
 )
@@ -286,6 +288,77 @@ def test_cursor_lagging_past_retention_fails_loudly(spark, tmp_root):
     sink.vacuum(retain_snapshots=1)
     with pytest.raises(FileNotFoundError, match="vacuumed|not found"):
         cur.poll()[0].count()
+
+
+def test_cursor_lease_protects_snapshot_from_vacuum(spark, tmp_root):
+    """A LIVE cursor's committed snapshot survives an aggressive
+    ``vacuum(retain_snapshots=1)`` via its cursor lease (the consumer
+    doesn't depend on the operator guessing the retention count right);
+    an ABANDONED consumer's expired lease is reaped by the same vacuum,
+    restoring the count-based contract and its loud failure mode."""
+    import time as _time
+
+    import pytest
+
+    from scylla_cdc_java_spark.sinks.changefeed import ChangeFeedCursor
+
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/cl_target", table,
+                            num_buckets=4)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0", "lang": "py"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "content": "v1"},
+    ]), table), {"step": 1})
+    cur = ChangeFeedCursor(sink, f"{tmp_root}/cl_cursor.json")
+    feed, tok = cur.poll()
+    feed.count()
+    cur.commit(tok)
+    committed = cur.position()
+    for i in range(3):
+        sink.merge(fold_batch(_batch(spark, [
+            {"op": OP_ROW_UPDATE, "ms": 20 + i, "seq": 0, "repo": "o/r1",
+             "path": "a.py", "content": f"v{2 + i}"},
+        ]), table), {"step": 2 + i})
+    # count-based retention alone would reap the cursor's snapshot
+    # (test_cursor_lagging_past_retention_fails_loudly proves exactly
+    # that with leases disabled via reader_lease_s=0)
+    sink.vacuum(retain_snapshots=1)
+    assert committed in sink.snapshots()
+    feed, tok = cur.poll()  # resumes across the vacuum: correct net span
+    got = {(r["content"], r[CHANGE_TYPE_COL]) for r in feed.collect()}
+    assert got == {("v1", CT_UPDATE_PRE), ("v4", CT_UPDATE_POST)}
+    cur.commit(tok)
+
+    # abandoned consumer (own table, so the live cursor above can't
+    # shield it): tiny TTL, then more writes + vacuum after expiry —
+    # the lease file is reaped, the snapshot goes with it, and the
+    # lagging cursor fails loudly instead of diffing wrong. The tiny
+    # reader_lease_s also shrinks the publication grace (young
+    # snapshots are retained for one lease interval on tables with
+    # live cursors) so the vacuum is prompt here.
+    sink2 = ParquetMergeSink(spark, f"{tmp_root}/cl_target2", table,
+                             num_buckets=4, reader_lease_s=0.05)
+    sink2.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "content": "v1"},
+    ]), table), {"step": 1})
+    cur2 = ChangeFeedCursor(sink2, f"{tmp_root}/cl_cursor2.json",
+                            lease_ttl_s=0.05)
+    feed, tok = cur2.poll()
+    feed.count()
+    cur2.commit(tok)
+    stale_v = cur2.position()
+    for i in range(3):
+        sink2.merge(fold_batch(_batch(spark, [
+            {"op": OP_ROW_UPDATE, "ms": 40 + i, "seq": 0, "repo": "o/r1",
+             "path": "a.py", "content": f"w{i}"},
+        ]), table), {"step": 10 + i})
+    _time.sleep(0.1)
+    sink2.vacuum(retain_snapshots=1)
+    assert stale_v not in sink2.snapshots()
+    with pytest.raises(FileNotFoundError, match="vacuumed|not found"):
+        cur2.poll()[0].count()
 
 
 def test_parquet_mirror_sync(spark, tmp_root):

@@ -1,0 +1,147 @@
+"""The full deployment, FOUR OS processes, zero coordination — the
+complete round trip the engine supports, all at once:
+
+    writer     Engine.replay: CDC log -> fold -> merge sink (CDC in)
+    compactor  tools/compactor.py: compact + vacuum at MAXIMUM pressure
+               (retain-snapshots 1 — every superseded snapshot is
+               reaped as soon as leases allow)
+    maintainer tools/index_maintainer.py: incremental MinHash index in
+               lockstep with the moving table (derived state)
+    mirror     tools/mirror_consumer.py: change-feed consumer
+               materializing a downstream mirror (CDC out)
+
+No process knows any other exists. The maintainer's and mirror's bucket
+reads survive the vacuum via cross-process read leases (file level);
+the mirror's versioned change-feed reads survive it via the CURSOR
+lease (snapshot level, sinks/changefeed.ChangeFeedCursor) — with
+retain-snapshots 1, count-based retention alone would reap the
+mirror's resume snapshot out from under it mid-campaign
+(test_cursor_lagging_past_retention_fails_loudly proves exactly that
+failure with leases disabled).
+
+Final assertions: every daemon exits 0 at its fixpoint, the table is
+oracle-exact, the mirror equals the table, and the index equals a full
+recompute."""
+
+import json
+import os
+import subprocess
+import sys
+
+from scylla_cdc_java_spark import Engine, GenSpec, generate_world, write_world
+from scylla_cdc_java_spark.datapipe.incremental import IncrementalMinHashIndex
+from scylla_cdc_java_spark.model import EngineConfig
+from scylla_cdc_java_spark.oracle import final_state, replay
+from scylla_cdc_java_spark.sinks.changefeed import ParquetMirror
+
+from test_incremental import _collect_sigs, _full_recompute, _inc_view
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rows(df):
+    return sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in df.collect()
+    )
+
+
+def test_writer_compactor_maintainer_and_mirror_quad(spark, tmp_root):
+    spec = GenSpec(seed=36, n_events=2500, n_repos=25, paths_per_repo=8,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=300_000, p_range_delete=0.05)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/quad_world")
+    target = f"{tmp_root}/quad_target"
+    index_dir = f"{tmp_root}/quad_index"
+    mirror_dir = f"{tmp_root}/quad_mirror"
+    c_out = f"{tmp_root}/quad_compactor.jsonl"
+    m_out = f"{tmp_root}/quad_maintainer.jsonl"
+    r_out = f"{tmp_root}/quad_mirror.jsonl"
+
+    argv = {
+        "compactor": [
+            os.path.join(REPO_ROOT, "tools", "compactor.py"),
+            target, "--interval", "1", "--max-rounds", "200",
+            "--until-done", "--grace", "10", "--retain-snapshots", "1",
+            # 10 s publication grace: consumers lease a listed head
+            # within milliseconds, so this is still a ~10^4× margin —
+            # but snapshots from the campaign's first half really do
+            # get reaped mid-run (the retention pressure under test)
+            "--reader-lease", "10",
+            "--cores", "2", "--out", c_out],
+        "maintainer": [
+            os.path.join(REPO_ROOT, "tools", "index_maintainer.py"),
+            target, index_dir, "--kind", "minhash", "--interval", "0.3",
+            "--until-done", "--max-rounds", "400", "--cores", "2",
+            "--out", m_out],
+        "mirror": [
+            os.path.join(REPO_ROOT, "tools", "mirror_consumer.py"),
+            target, mirror_dir, "--interval", "0.3", "--until-done",
+            "--max-rounds", "400", "--cores", "2", "--out", r_out],
+    }
+    daemons = {
+        name: subprocess.Popen(
+            [sys.executable, *args], stdout=subprocess.DEVNULL,
+            stderr=open(f"{tmp_root}/quad_{name}.err", "w"),
+        )
+        for name, args in argv.items()
+    }
+    try:
+        eng = Engine(
+            spark, info["log_dir"], info["generations_path"], target,
+            # piggyback compaction OFF: every compaction/vacuum is the
+            # external compactor's, racing every consumer's reads
+            cfg=EngineConfig(window_length_limit_ms=20_000,
+                             compact_threshold=10**6),
+        )
+        stats = eng.replay()
+        assert stats.windows >= 10, stats.windows
+        for p in daemons.values():
+            p.wait(timeout=300)
+    finally:
+        for p in daemons.values():
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for name, p in daemons.items():
+        assert p.returncode == 0, (
+            name, p.returncode,
+            open(f"{tmp_root}/quad_{name}.err").read()[-4000:])
+
+    # the compactor compacted AND vacuumed under everyone; the vacuum
+    # pressure that matters to the mirror is the SNAPSHOT horizon:
+    # with retain-snapshots 1, every superseded unleased manifest is
+    # reaped, so far fewer snapshots remain than the writer committed
+    # (without the cursor lease this exact setup reaps the mirror's
+    # resume snapshot mid-campaign and the consumer dies — the
+    # pre-lease failure mode)
+    c_rounds = [json.loads(line) for line in open(c_out)]
+    assert any(r["compacted"] for r in c_rounds), \
+        "external compactor never landed a compaction"
+    assert len(eng.sink.snapshots()) < stats.windows, \
+        "snapshot horizon was never vacuumed — no retention pressure"
+    # both consumers tracked the MOVING table (synced before done)
+    m_rounds = [json.loads(line) for line in open(m_out)]
+    assert any(r["changed"] > 0 and not r["writer_done"]
+               for r in m_rounds), m_rounds
+    r_rounds = [json.loads(line) for line in open(r_out)]
+    assert any(r["applied_rows"] > 0 and not r["writer_done"]
+               for r in r_rounds), r_rounds
+
+    # final table oracle-exact
+    want = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in final_state(replay(world["events"]))
+    )
+    got = _rows(eng.sink.read())
+    assert got == want and len(got) > 0
+
+    # the downstream mirror equals the table (CDC out, round-tripped)
+    mirror = ParquetMirror(spark, mirror_dir)
+    assert _rows(mirror.read()) == want
+
+    # the derived index equals a full recompute over the final table
+    idx = IncrementalMinHashIndex(spark, index_dir, text_col="content")
+    assert _collect_sigs(_inc_view(idx)) == _collect_sigs(
+        _full_recompute(eng.sink))

@@ -51,6 +51,11 @@ def main() -> None:
     # in-process leases don't cross process boundaries)
     ap.add_argument("--retain-snapshots", type=int, default=1)
     ap.add_argument("--grace", type=float, default=600.0)
+    # this process's lease horizon: bounds how long other processes'
+    # read leases are honored when their files are corrupt, AND the
+    # snapshot publication grace (snapshots younger than this stay
+    # readable on tables with live change-feed cursors)
+    ap.add_argument("--reader-lease", type=float, default=None)
     ap.add_argument("--expire-before-ms", type=int, default=None)
     ap.add_argument("--cores", type=int, default=4)
     ap.add_argument("--out", default=None)
@@ -64,7 +69,10 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{args.cores}]",
                       shuffle_partitions=args.cores)
-    sink = ParquetMergeSink.for_existing(spark, args.target)
+    kw = {}
+    if args.reader_lease is not None:
+        kw["reader_lease_s"] = args.reader_lease
+    sink = ParquetMergeSink.for_existing(spark, args.target, **kw)
     log = open(args.out, "a") if args.out else None
     rounds = 0
     try:
