@@ -241,6 +241,7 @@ class ChangeFeedCursor:
         self.sink = sink
         self.state_path = state_path
         self.lease_ttl_s = lease_ttl_s
+        self._minted_id: str | None = None
 
     def _state(self) -> dict | None:
         if not os.path.exists(self.state_path):
@@ -260,7 +261,20 @@ class ChangeFeedCursor:
         (a lost state file mints a new id; the orphan lease expires)."""
         if st and st.get("id"):
             return st["id"]
-        return uuid.uuid4().hex
+        # mint once and remember it: a consumer whose state predates
+        # ids (or that polls while caught up and so never commits) must
+        # refresh ONE lease file per cursor, not litter cursors/ with a
+        # new orphan per poll — and since callers (ParquetMirror)
+        # construct a fresh cursor per sync, upgrade an existing state
+        # file in place so every future object reuses the same id
+        if self._minted_id is None:
+            self._minted_id = uuid.uuid4().hex
+            if st is not None:
+                tmp = self.state_path + f".tmp.{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump({**st, "id": self._minted_id}, f)
+                os.replace(tmp, self.state_path)
+        return self._minted_id
 
     def _write_lease(self, cursor_id: str, versions: list[int]) -> None:
         if self.sink is None or self.lease_ttl_s <= 0 or not versions:
@@ -302,7 +316,9 @@ class ChangeFeedCursor:
                 return self._poll_once()
             except FileNotFoundError as e:
                 gone = getattr(e, "snapshot_version", None)
-                if gone is None or gone == self.position():
+                if gone is not None and gone == self.position():
+                    raise  # resume snapshot vacuumed: retention lapse
+                if gone is None and not _is_transient_read_race(e):
                     raise
                 last_err = e  # vacuumed head: list again and re-plan
         raise last_err
@@ -369,6 +385,10 @@ def _is_transient_read_race(e: BaseException) -> bool:
     return any(marker in s for marker in (
         "FileNotFoundException", "PATH_NOT_FOUND", "FILE_NOT_EXIST",
         "does not exist",
+        # driver-side twin: the sharded index's lazy meta-shard loads
+        # (bucket_index._load) raise a plain errno-2 FileNotFoundError
+        # when vacuum reaps a superseded snapshot's meta files mid-plan
+        "No such file or directory",
     ))
 
 
@@ -514,6 +534,29 @@ class ParquetMirror:
         pk = list(sink.table.primary_key)
         vals = [c for c in feed.columns
                 if c not in pk and c != CHANGE_TYPE_COL]
+        # compute the changed-bucket set BEFORE persisting the feed:
+        # these load root manifests and can raise the tagged
+        # vacuumed-head error that sync() retries — raising after the
+        # persist would leak a cached DataFrame per retry
+        if pos is None:
+            # bootstrap: the feed is the whole snapshot as inserts —
+            # every bucket of that snapshot is "changed", PLUS any
+            # partition a previously-crashed bootstrap left behind
+            # (the writer may have emptied those buckets since; without
+            # this they would never be rewritten or removed)
+            changed = {
+                int(b)
+                for b in sink._load_root(tok["version"])["bucket_index"]
+            }
+            if os.path.isdir(self._data_dir):
+                changed |= {
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(self._data_dir)
+                    if d.startswith(self.BUCKET_COL + "=")
+                }
+            changed = sorted(changed)
+        else:
+            changed = changed_buckets(sink, pos, tok["version"])
         if pos is not None:
             # value-neutral spans (compaction/vacuum moved fingerprints
             # but no row changed) would re-materialize identical
@@ -540,25 +583,6 @@ class ParquetMirror:
                 return {"applied_rows": 0, "changed": [], "removed": [],
                         "version": tok["version"],
                         "sync_s": _time.time() - t0}
-        if pos is None:
-            # bootstrap: the feed is the whole snapshot as inserts —
-            # every bucket of that snapshot is "changed", PLUS any
-            # partition a previously-crashed bootstrap left behind
-            # (the writer may have emptied those buckets since; without
-            # this they would never be rewritten or removed)
-            changed = {
-                int(b)
-                for b in sink._load_root(tok["version"])["bucket_index"]
-            }
-            if os.path.isdir(self._data_dir):
-                changed |= {
-                    int(d.split("=", 1)[1])
-                    for d in os.listdir(self._data_dir)
-                    if d.startswith(self.BUCKET_COL + "=")
-                }
-            changed = sorted(changed)
-        else:
-            changed = changed_buckets(sink, pos, tok["version"])
 
         try:
             empty_base = feed.select(*pk, *vals).where(F.lit(False))

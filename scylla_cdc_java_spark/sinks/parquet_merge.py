@@ -1659,8 +1659,19 @@ class ParquetMergeSink:
                 roots.append(self._load_root(version=v))
         # re-scan cursor leases at the last responsible moment: a lease
         # published while the roots above were loading must win over
-        # this vacuum's earlier snapshot of the cursor dir
+        # this vacuum's earlier snapshot of the cursor dir — and not
+        # just for the manifest file: load the late-leased versions'
+        # roots too, so their data/meta files join the live set below
+        # (a manifest-only reprieve would leave a readable pointer to
+        # reaped files)
         final_leased = self._live_cursor_versions()
+        for v in sorted(final_leased):
+            if v in snaps and v not in retained and v != cur_version:
+                try:
+                    roots.append(self._load_root(version=v))
+                    retained.append(v)
+                except FileNotFoundError:
+                    pass  # leased after an earlier vacuum already won
         for v in snaps:
             if v not in retained and v != cur_version \
                     and v not in final_leased:
@@ -1696,31 +1707,11 @@ class ParquetMergeSink:
         # unexpired leases from ANY process, reap expired ones.
         # ``reader_lease_s=0`` opts this vacuum out of lease honoring
         # entirely (the documented force-immediate-reap switch).
-        lease_dir = os.path.join(self.path, "leases")
-        if self.reader_lease_s > 0 and os.path.isdir(lease_dir):
-            for lf in os.listdir(lease_dir):
-                full = os.path.join(lease_dir, lf)
-                try:
-                    with open(full) as f:
-                        lease = json.load(f)
-                except (OSError, ValueError):
-                    # leases are written atomically (tmp + replace), so
-                    # unreadable means corrupt — reap once it cannot be
-                    # a live lease any more
-                    try:
-                        if now - os.path.getmtime(full) > self.reader_lease_s:
-                            os.remove(full)
-                    except OSError:
-                        pass
-                    continue
-                if lease.get("expiry", 0) < now:
-                    with contextlib.suppress(OSError):
-                        os.remove(full)
-                    continue
-                live |= {
-                    os.path.join(self.path, p)
-                    for p in lease.get("files", ())
-                }
+        for lease in self._scan_lease_dir(os.path.join(self.path, "leases")):
+            live |= {
+                os.path.join(self.path, p)
+                for p in lease.get("files", ())
+            }
         removed = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
@@ -1769,6 +1760,45 @@ class ParquetMergeSink:
                     os.rmdir(bfull)
         return removed
 
+    def _scan_lease_dir(self, dirpath: str) -> list:
+        """Shared scan for both lease dirs (``leases/`` = file-level
+        read leases, ``cursors/`` = snapshot-level cursor leases):
+        returns the payloads of live leases, reaping expired and
+        corrupt files along the way. The reap is mtime-guarded against
+        the refresh race: a consumer may ``os.replace`` a FRESH lease
+        between our read (which saw an expired one) and the remove —
+        re-stat immediately before deleting and skip if the file
+        changed, so a just-revived consumer's lease is never deleted.
+        Callers gate on ``reader_lease_s > 0`` (the documented
+        force-immediate-reap switch)."""
+        out: list = []
+        if self.reader_lease_s <= 0 or not os.path.isdir(dirpath):
+            return out
+        now = time.time()
+        for lf in os.listdir(dirpath):
+            if not lf.endswith(".json"):
+                continue
+            full = os.path.join(dirpath, lf)
+            try:
+                mtime0 = os.path.getmtime(full)
+                with open(full) as f:
+                    lease = json.load(f)
+            except (OSError, ValueError):
+                # leases are written atomically (tmp + replace), so
+                # unreadable means corrupt — reap once it cannot be a
+                # live lease any more
+                with contextlib.suppress(OSError):
+                    if now - os.path.getmtime(full) > self.reader_lease_s:
+                        os.remove(full)
+                continue
+            if lease.get("expiry", 0) < now:
+                with contextlib.suppress(OSError):
+                    if os.path.getmtime(full) == mtime0:
+                        os.remove(full)
+                continue
+            out.append(lease)
+        return out
+
     def _live_cursor_versions(self) -> set:
         """Snapshot versions named by unexpired cursor lease files under
         ``cursors/`` (dropped by ``changefeed.ChangeFeedCursor``) —
@@ -1777,28 +1807,7 @@ class ParquetMergeSink:
         gated on ``reader_lease_s > 0``, the same force-immediate-reap
         switch as the file-level read leases."""
         out: set = set()
-        cdir = os.path.join(self.path, "cursors")
-        if self.reader_lease_s <= 0 or not os.path.isdir(cdir):
-            return out
-        now = time.time()
-        for cf in os.listdir(cdir):
-            if not cf.endswith(".json"):
-                continue
-            full = os.path.join(cdir, cf)
-            try:
-                with open(full) as f:
-                    lease = json.load(f)
-            except (OSError, ValueError):
-                # written atomically (tmp + replace), so unreadable ==
-                # corrupt; reap once it can no longer be a live lease
-                with contextlib.suppress(OSError):
-                    if now - os.path.getmtime(full) > self.reader_lease_s:
-                        os.remove(full)
-                continue
-            if lease.get("expiry", 0) < now:
-                with contextlib.suppress(OSError):
-                    os.remove(full)
-                continue
+        for lease in self._scan_lease_dir(os.path.join(self.path, "cursors")):
             out.update(int(v) for v in lease.get("versions", ()))
         return out
 
@@ -1817,24 +1826,8 @@ class ParquetMergeSink:
         now = time.time()
         if now - getattr(self, "_last_lease_reap", 0.0) > self.reader_lease_s:
             self._last_lease_reap = now
-            lease_dir = os.path.join(self.path, "leases")
-            if os.path.isdir(lease_dir):
-                for lf in os.listdir(lease_dir):
-                    full = os.path.join(lease_dir, lf)
-                    try:
-                        with open(full) as f:
-                            expired = json.load(f).get("expiry", 0) < now
-                    except (OSError, ValueError):
-                        # atomically written, so unreadable == corrupt;
-                        # reap once it can no longer be a live lease
-                        try:
-                            expired = (now - os.path.getmtime(full)
-                                       > self.reader_lease_s)
-                        except OSError:
-                            continue
-                    if expired:
-                        with contextlib.suppress(OSError):
-                            os.remove(full)
+            # scan-with-reap; live payloads not needed here
+            self._scan_lease_dir(os.path.join(self.path, "leases"))
         files = frozenset(
             p for segmap in (m["buckets"], m["tomb_segs"])
             for segs in segmap.values() for p in segs

@@ -80,10 +80,12 @@ def test_writer_compactor_maintainer_and_mirror_quad(spark, tmp_root):
             target, mirror_dir, "--interval", "0.3", "--until-done",
             "--max-rounds", "400", "--cores", "2", "--out", r_out],
     }
+    errs = {name: open(f"{tmp_root}/quad_{name}.err", "w")
+            for name in argv}
     daemons = {
         name: subprocess.Popen(
             [sys.executable, *args], stdout=subprocess.DEVNULL,
-            stderr=open(f"{tmp_root}/quad_{name}.err", "w"),
+            stderr=errs[name],
         )
         for name, args in argv.items()
     }
@@ -104,10 +106,12 @@ def test_writer_compactor_maintainer_and_mirror_quad(spark, tmp_root):
             if p.poll() is None:
                 p.kill()
                 p.wait()
+        for fh in errs.values():
+            fh.close()
     for name, p in daemons.items():
-        assert p.returncode == 0, (
-            name, p.returncode,
-            open(f"{tmp_root}/quad_{name}.err").read()[-4000:])
+        with open(f"{tmp_root}/quad_{name}.err") as fh:
+            tail = fh.read()[-4000:]
+        assert p.returncode == 0, (name, p.returncode, tail)
 
     # the compactor compacted AND vacuumed under everyone; the vacuum
     # pressure that matters to the mirror is the SNAPSHOT horizon:
@@ -116,16 +120,20 @@ def test_writer_compactor_maintainer_and_mirror_quad(spark, tmp_root):
     # (without the cursor lease this exact setup reaps the mirror's
     # resume snapshot mid-campaign and the consumer dies — the
     # pre-lease failure mode)
-    c_rounds = [json.loads(line) for line in open(c_out)]
+    def _jsonl(path):
+        with open(path) as fh:
+            return [json.loads(line) for line in fh]
+
+    c_rounds = _jsonl(c_out)
     assert any(r["compacted"] for r in c_rounds), \
         "external compactor never landed a compaction"
     assert len(eng.sink.snapshots()) < stats.windows, \
         "snapshot horizon was never vacuumed — no retention pressure"
     # both consumers tracked the MOVING table (synced before done)
-    m_rounds = [json.loads(line) for line in open(m_out)]
+    m_rounds = _jsonl(m_out)
     assert any(r["changed"] > 0 and not r["writer_done"]
                for r in m_rounds), m_rounds
-    r_rounds = [json.loads(line) for line in open(r_out)]
+    r_rounds = _jsonl(r_out)
     assert any(r["applied_rows"] > 0 and not r["writer_done"]
                for r in r_rounds), r_rounds
 
