@@ -10,6 +10,8 @@ import json
 import os
 import subprocess
 import sys
+import threading
+import time
 
 from pyspark.sql import functions as F
 
@@ -156,7 +158,14 @@ def test_external_index_maintainer_during_replay(spark, tmp_root):
     processes exists or is needed — each sync reads one atomically-
     published root, and a sync racing a commit is caught up exactly by
     the next fingerprint diff. The final index must equal a full
-    recompute over the final table."""
+    recompute over the final table.
+
+    Determinism: the engine's watermark clock is HELD at mid-log until
+    the maintainer's out-file proves a live data-bearing sync, then
+    released — the writer cannot finish before the maintainer has
+    demonstrably tracked it mid-replay, no matter how loaded the host
+    is (the previous load-sensitive form of this test flaked when the
+    maintainer's JVM boot outlasted the whole replay)."""
     spec = GenSpec(seed=33, n_events=2500, n_repos=25, paths_per_repo=8,
                    n_generations=2, streams_per_generation=4,
                    gen_span_ms=300_000, p_range_delete=0.05)
@@ -165,6 +174,14 @@ def test_external_index_maintainer_during_replay(spark, tmp_root):
     target = f"{tmp_root}/im_target"
     index_dir = f"{tmp_root}/im_index"
     out = f"{tmp_root}/maintainer.jsonl"
+    t0 = spec.gen0_start_ms
+    gate = {"ms": t0 + 150_000}  # watermark mid-gen-0: ONE commit lands
+
+    def read_rounds():
+        if not os.path.exists(out):
+            return []
+        with open(out) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
 
     proc = subprocess.Popen(
         [sys.executable,
@@ -177,36 +194,60 @@ def test_external_index_maintainer_during_replay(spark, tmp_root):
     try:
         eng = Engine(
             spark, info["log_dir"], info["generations_path"], target,
+            clock=lambda: gate["ms"],
             # many small windows; piggyback compaction ON so external
             # syncs also race compaction-reshaped manifests
             cfg=EngineConfig(window_length_limit_ms=20_000,
-                             compact_threshold=8),
+                             compact_threshold=8, sleep_scale=0.01),
         )
-        stats = eng.replay()
+        res: dict = {}
+
+        def run_replay():
+            try:
+                res["stats"] = eng.replay()
+            except BaseException as exc:  # surfaced after join
+                res["exc"] = exc
+
+        th = threading.Thread(target=run_replay, daemon=True)
+        th.start()
+        # hold until the maintainer has synced the mid-log commit while
+        # the writer is provably still running (gate held => not done)
+        deadline = time.time() + 240
+        saw_live = False
+        while time.time() < deadline and proc.poll() is None:
+            if any(r["changed"] and not r["writer_done"]
+                   for r in read_rounds()):
+                saw_live = True
+                break
+            time.sleep(0.2)
+        # release: watermark passes the whole log (+ late-writes slack)
+        gate["ms"] = t0 + 2 * spec.gen_span_ms + 100_000
+        th.join(timeout=300)
+        assert not th.is_alive(), "replay did not finish after release"
+        if "exc" in res:
+            raise res["exc"]
+        assert saw_live, read_rounds()
+        stats = res["stats"]
         assert stats.windows >= 10, stats.windows
-        proc.wait(timeout=180)
+        proc.wait(timeout=300)
     finally:
+        gate["ms"] = t0 + 2 * spec.gen_span_ms + 100_000
         if proc.poll() is None:
             proc.kill()
             proc.wait()
     assert proc.returncode == 0
 
-    rounds = [json.loads(line) for line in open(out)]
+    rounds = read_rounds()
     # exit is the FIXPOINT: done observed AND nothing left to rescan
     assert rounds and rounds[-1]["writer_done"]
     assert rounds[-1]["changed"] == 0 and rounds[-1]["removed"] == 0
-    # the maintainer tracked a MOVING table, not one post-done
-    # recompute: either a sync rescanned a strict subset of the
-    # table's buckets, or (on a loaded host where every inter-sync
-    # gap spans windows touching all buckets) it took repeated
-    # data-bearing syncs before the writer finished — a single
-    # catch-all sync after done fails both arms
-    total_buckets = len(eng.sink._load_root()["bucket_index"])
-    partial = any(0 < r["changed"] < total_buckets for r in rounds)
-    live_syncs = sum(
-        1 for r in rounds if r["changed"] and not r["writer_done"])
-    assert partial or live_syncs >= 2, (
-        [(r["changed"], r["writer_done"]) for r in rounds], total_buckets)
+    # the maintainer tracked a MOVING table: a data-bearing sync landed
+    # while the writer was live (guaranteed by the clock gate), and the
+    # post-release catch-up synced at least one LATER table version
+    live = [r for r in rounds if r["changed"] and not r["writer_done"]]
+    assert live, [(r["changed"], r["writer_done"]) for r in rounds]
+    versions = {r["table_version"] for r in rounds if r["changed"]}
+    assert len(versions) >= 2, rounds
 
     # the externally-maintained index equals a full recompute; an
     # in-process catch-up sync over the same state dir is a no-op
