@@ -122,14 +122,29 @@ def world_for(spec, cache: str = None) -> dict:
 
 
 def _replay_iters(spark, info: dict, cores: int, iters: int,
-                  steal_frac_ok: float = 0.10) -> dict:
+                  steal_frac_ok: float = 0.10, steal_frac_good: float = 0.02,
+                  extra_iters: int = 3) -> dict:
     """Run the replay `iters` times in a warm session (fresh target each
-    time); return the fastest low-steal iteration."""
+    time); return the fastest low-steal iteration.
+
+    Steal on this VM is bursty: a 10% steal share still inflates wall
+    ~2x in practice (queueing, not just stolen ticks), so `iters`
+    attempts are extended by up to `extra_iters` until one lands truly
+    clean (steal share <= steal_frac_good); selection then prefers the
+    good pool, falling back to <= steal_frac_ok, then to everything."""
     from scylla_cdc_java_spark import Engine, EngineConfig
 
     n_rows = info["n_rows"]
     results = []
-    for it in range(iters):
+    it = -1
+    while True:
+        it += 1
+        if it >= iters + extra_iters:
+            break
+        if it >= iters and any(
+            r["steal_frac"] <= steal_frac_good for r in results
+        ):
+            break
         target = tempfile.mkdtemp(prefix=f"cdc_bench_t{cores}_{it}_")
         try:
             eng = Engine(
@@ -163,8 +178,9 @@ def _replay_iters(spark, info: dict, cores: int, iters: int,
             )
         finally:
             shutil.rmtree(target, ignore_errors=True)
+    good = [r for r in results if r["steal_frac"] <= steal_frac_good]
     clean = [r for r in results if r["steal_frac"] <= steal_frac_ok]
-    pool = clean or results
+    pool = good or clean or results
     best = min(pool, key=lambda r: r["wall_s"])
     best = dict(best)
     best["iterations"] = [

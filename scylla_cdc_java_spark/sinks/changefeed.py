@@ -269,11 +269,15 @@ class ChangeFeedCursor:
         # file in place so every future object reuses the same id
         if self._minted_id is None:
             self._minted_id = uuid.uuid4().hex
-            if st is not None:
-                tmp = self.state_path + f".tmp.{uuid.uuid4().hex}"
-                with open(tmp, "w") as f:
-                    json.dump({**st, "id": self._minted_id}, f)
-                os.replace(tmp, self.state_path)
+            # persist the id even before the first commit (version
+            # None): the bootstrap poll now leases its target, and a
+            # crash-looping bootstrap must refresh ONE lease file, not
+            # pin one head per attempt for a full lease_ttl_s each
+            base = st if st is not None else {"version": None}
+            tmp = self.state_path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({**base, "id": self._minted_id}, f)
+            os.replace(tmp, self.state_path)
         return self._minted_id
 
     def _write_lease(self, cursor_id: str, versions: list[int]) -> None:
@@ -333,17 +337,26 @@ class ChangeFeedCursor:
         cur = snaps[-1]
         st = self._state()
         pos = None if st is None else st["version"]
-        if pos is not None:
-            # refresh the lease and extend it over the TARGET head as
-            # well: the span's both endpoints are protected from the
-            # instant they are chosen, not only at commit time (the
-            # commit-time lease write alone races a vacuum whose
-            # cursor scan already happened — the quad campaign's
-            # observed failure). The bootstrap poll (pos None) skips
-            # this: nothing is committed yet, so any vanished-head
-            # race self-heals by re-polling, never a retention lapse.
-            self._write_lease(self._cursor_id(st),
-                              [pos] if pos >= cur else [pos, cur])
+        # lease the span's endpoints the instant they are chosen, not
+        # only at commit time (the commit-time lease write alone races
+        # a vacuum whose cursor scan already happened — the quad
+        # campaign's observed failure). The bootstrap poll (pos None)
+        # leases its single endpoint, the target head, for the same
+        # reason: a head vacuumed BEFORE the lease lands self-heals by
+        # re-polling (nothing committed yet), but the lease must still
+        # land before the long bootstrap read — commit() records the
+        # version only after the consumer's batch, and a target
+        # manifest reaped mid-batch would otherwise poison the cursor
+        # into a next-poll retention lapse (the quad campaign's second
+        # observed failure mode, surfaced under host-load stalls
+        # longer than the vacuum's publication grace).
+        if pos is None:
+            span = [cur]
+        elif pos >= cur:
+            span = [pos]
+        else:
+            span = [pos, cur]
+        self._write_lease(self._cursor_id(st), span)
         if pos is not None and pos >= cur:
             return None, {"version": cur}
         if pos is None:
@@ -357,6 +370,16 @@ class ChangeFeedCursor:
         if token.get("version") is None:
             return  # pre-first-commit poll: nothing to record
         new_v = int(token["version"])
+        # refuse to record a snapshot whose manifest is already gone
+        # (raises the tagged FileNotFoundError): with the poll-time
+        # lease this cannot happen unless leases are disabled or the
+        # consumer stalled past its own lease_ttl_s, but committing a
+        # reaped version would poison the cursor into a loud failure
+        # on the NEXT poll — failing here instead leaves the cursor at
+        # its previous position, where the caller's retry loop
+        # re-polls a live head and the idempotent apply reconverges.
+        if self.sink is not None:
+            self.sink._load_root(new_v)
         st = self._state()
         cursor_id = self._cursor_id(st)
         old_pos = None if st is None else st["version"]
@@ -423,9 +446,22 @@ class ParquetMirror:
     the mirror partitions of buckets whose fingerprints moved in that
     span (``apply_changes`` over the old partition + the feed's rows),
     drop emptied partitions (learned from an Observation riding the
-    write job — one Spark job per sync), then commit the cursor. A
-    crash before the cursor commit re-delivers the span; the net-diff
-    apply is idempotent, so redelivery converges. Schema evolution
+    write job — one Spark job per sync), then commit the cursor.
+
+    Crash recovery: redelivery of the SAME span converges because the
+    net-diff apply is idempotent — but a crash between the partition
+    write and the cursor commit makes the next sync's span a STRICT
+    SUPERSET (committed position → the NEW head), whose feed never
+    mentions a key whose value reverted across it, leaving the crashed
+    write's intermediate image in place; a crashed bootstrap's leftover
+    partitions can likewise hold keys deleted from the table since.
+    So (a) the bootstrap apply uses an EMPTY base — its feed is the
+    complete truth, leftover partitions are only ever overwritten or
+    dropped, never read — and (b) every sync stages its touched-bucket
+    list in ``_staged.json`` before the write and clears it after the
+    cursor commit; a sync that finds a staged list rebuilds exactly
+    those buckets from the target SNAPSHOT (partition-pruned read)
+    instead of trusting their mirror partitions. Schema evolution
     arrives through the feed's union schema — the mirror aligns its
     stored partitions with typed NULLs on the next rewrite."""
 
@@ -448,6 +484,34 @@ class ParquetMirror:
     @property
     def _schema_path(self) -> str:
         return os.path.join(self.path, "_schema.json")
+
+    @property
+    def _staged_path(self) -> str:
+        return os.path.join(self.path, "_staged.json")
+
+    def _load_staged(self) -> set:
+        """Bucket ids a previous sync wrote but never cursor-committed
+        (its crash window) — their mirror partitions may hold images
+        from a span the cursor does not record, so the recovering sync
+        must rebuild them from the target snapshot, not apply a diff
+        over them."""
+        if not os.path.exists(self._staged_path):
+            return set()
+        with open(self._staged_path) as f:
+            return {int(b) for b in json.load(f)["buckets"]}
+
+    def _write_staged(self, buckets, version) -> None:
+        tmp = self._staged_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"buckets": sorted(int(b) for b in buckets),
+                       "to": version}, f)
+        os.replace(tmp, self._staged_path)
+
+    def _clear_staged(self) -> None:
+        try:
+            os.remove(self._staged_path)
+        except FileNotFoundError:
+            pass
 
     def _save_schema(self, schema) -> None:
         tmp = self._schema_path + f".tmp.{uuid.uuid4().hex}"
@@ -557,19 +621,27 @@ class ParquetMirror:
             changed = sorted(changed)
         else:
             changed = changed_buckets(sink, pos, tok["version"])
+        # buckets a previous sync wrote but never cursor-committed:
+        # always part of this sync's rewrite set (their fingerprints
+        # cannot have reverted — entry paths are write-once — but a
+        # value-neutral span could otherwise skip them)
+        recover = self._load_staged()
+        changed = sorted(set(int(b) for b in changed) | recover)
         if pos is not None:
             # value-neutral spans (compaction/vacuum moved fingerprints
             # but no row changed) would re-materialize identical
             # partitions; probe the feed once (persisted, so the apply
             # below reuses the computed rows instead of re-running the
-            # snapshot diff) and just advance the cursor when empty
+            # snapshot diff) and just advance the cursor when empty —
+            # unless staged buckets need rebuilding, which rides the
+            # normal write path below
             feed = feed.persist()
             try:
                 is_empty = feed.isEmpty()
             except BaseException:
                 feed.unpersist()
                 raise
-            if is_empty:
+            if is_empty and not recover:
                 feed.unpersist()
                 # still record the span's (union) schema: a span that
                 # added a column and deleted its rows is value-neutral
@@ -587,19 +659,47 @@ class ParquetMirror:
         try:
             empty_base = feed.select(*pk, *vals).where(F.lit(False))
             try:
+                if pos is None:
+                    # bootstrap: the feed IS the complete truth — a
+                    # crashed earlier bootstrap's leftover partitions
+                    # may hold keys the table has since deleted, so
+                    # they are only ever overwritten or dropped (via
+                    # `changed`), never read as base
+                    raise FileNotFoundError
                 base = self.read().where(
-                    F.col(self.BUCKET_COL).isin([int(b) for b in changed]))
+                    F.col(self.BUCKET_COL).isin(
+                        [int(b) for b in changed if b not in recover]))
                 # a mirror written before a schema evolution lacks the
                 # new columns the feed now carries — align, typed NULLs
                 base = _align(base, empty_base, vals).select(*pk, *vals)
             except FileNotFoundError:
                 base = empty_base
+            out = apply_changes(base, feed, pk, vals)
+            if recover and pos is not None:
+                # rebuild staged buckets from the TARGET SNAPSHOT
+                # (partition-pruned read): their mirror partitions may
+                # hold a crashed span's intermediate images for keys
+                # this span's net diff never mentions (value reverted
+                # across the superset span), so the diff path cannot
+                # repair them — the snapshot is the truth
+                snap = _align(
+                    sink.read(version=tok["version"],
+                              buckets=sorted(recover)),
+                    empty_base, vals,
+                ).select(*pk, *vals)
+                out = out.where(
+                    ~sink._bucket_expr().isin(sorted(recover))
+                ).unionByName(snap)
             out = (
-                apply_changes(base, feed, pk, vals)
+                out
                 .withColumn(self.BUCKET_COL, sink._bucket_expr())
                 .repartition(max(len(changed) // 4, 1),
                              F.col(self.BUCKET_COL))
             )
+            # stage the touched-bucket list before the write: cleared
+            # only after the cursor commit, so any crash in between
+            # marks these buckets untrusted for the recovering sync
+            self._write_staged(changed, tok["version"])
             obs = Observation()
             (
                 out.observe(obs, F.collect_set(F.col(self.BUCKET_COL))
@@ -626,6 +726,7 @@ class ParquetMirror:
         # which the redelivered span simply re-confirms
         self._save_schema(out.schema)
         cur.commit(tok)
+        self._clear_staged()
         return {"applied_rows": int(obs.get["n"]), "changed": changed,
                 "removed": emptied, "version": tok["version"],
                 "sync_s": _time.time() - t0}

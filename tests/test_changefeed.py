@@ -361,6 +361,177 @@ def test_cursor_lease_protects_snapshot_from_vacuum(spark, tmp_root):
         cur2.poll()[0].count()
 
 
+def test_bootstrap_poll_leases_target_and_commit_refuses_reaped(
+        spark, tmp_root):
+    """The BOOTSTRAP poll (no committed position) leases its target
+    head the instant it is chosen, so a long first batch cannot have
+    the target's manifest vacuumed out from under the later
+    ``commit()`` — the quad campaign's second observed failure mode:
+    file-level read leases pin a snapshot's DATA files but not its
+    manifest, so a bootstrap job stalled past the publication grace
+    used to succeed and then commit a version whose manifest was
+    already reaped, poisoning the cursor into a next-poll retention
+    lapse. Also pins the defense-in-depth: ``commit()`` of a version
+    whose manifest IS gone (leases disabled / TTL exceeded) raises the
+    tagged error and leaves the cursor at its previous position
+    instead of recording a dead version."""
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from scylla_cdc_java_spark.sinks.changefeed import ChangeFeedCursor
+
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/bl_target", table,
+                            num_buckets=4)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0", "lang": "py"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "content": "v1"},
+    ]), table), {"step": 1})
+    cur = ChangeFeedCursor(sink, f"{tmp_root}/bl_cursor.json")
+    feed, tok = cur.poll()  # bootstrap: leases the target BEFORE reading
+    target_v = tok["version"]
+
+    # the lease landed at poll time, under the id persisted in the
+    # (pre-first-commit) state file — one lease file per consumer
+    st = _json.load(open(f"{tmp_root}/bl_cursor.json"))
+    assert st["version"] is None and st["id"]
+    lease = _json.load(
+        open(_os.path.join(sink.path, "cursors", f"{st['id']}.json")))
+    assert target_v in lease["versions"]
+
+    # writer races ahead + max vacuum pressure DURING the bootstrap
+    # batch: the leased target must survive for the later commit
+    for i in range(3):
+        sink.merge(fold_batch(_batch(spark, [
+            {"op": OP_ROW_UPDATE, "ms": 20 + i, "seq": 0, "repo": "o/r1",
+             "path": "a.py", "content": f"v{2 + i}"},
+        ]), table), {"step": 2 + i})
+    sink.vacuum(retain_snapshots=1)
+    assert target_v in sink.snapshots()
+    assert feed.count() == 1  # the batch still executes
+    cur.commit(tok)  # and records a live version
+    assert cur.position() == target_v
+
+    # defense-in-depth: commit() of a reaped version raises the tagged
+    # error and does NOT move the cursor (the caller's retry loop then
+    # re-polls a live head; the idempotent apply reconverges)
+    feed2, tok2 = cur.poll()
+    _os.remove(_os.path.join(
+        sink.path, "manifests", f"v{tok2['version']}.json"))
+    with pytest.raises(FileNotFoundError, match="not found"):
+        cur.commit(tok2)
+    assert cur.position() == target_v
+
+
+def test_mirror_crash_recovery_rebuilds_staged_buckets(
+        spark, tmp_root, monkeypatch):
+    """A crash between the mirror's partition write and its cursor
+    commit makes the next span a strict SUPERSET — whose net diff
+    never mentions a key whose value REVERTED across it, so the diff
+    path alone would leave the crashed write's intermediate image in
+    the mirror forever. The staged-bucket sidecar marks the touched
+    buckets untrusted; the recovering sync rebuilds them from the
+    target snapshot."""
+    import pytest
+
+    from scylla_cdc_java_spark.sinks.changefeed import (
+        ChangeFeedCursor,
+        ParquetMirror,
+    )
+
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/sr_target", table,
+                            num_buckets=4)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0", "lang": "py"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "content": "X"},
+    ]), table), {"step": 1})
+    mirror = ParquetMirror(spark, f"{tmp_root}/sr_mirror")
+    mirror.sync(sink)  # clean bootstrap at content=X
+
+    # crashed sync: partitions absorb content=Y, cursor never moves
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "o/r1",
+         "path": "a.py", "content": "Y"},
+    ]), table), {"step": 2})
+    real_commit = ChangeFeedCursor.commit
+    monkeypatch.setattr(ChangeFeedCursor, "commit",
+                        lambda self, tok: (_ for _ in ()).throw(
+                            RuntimeError("crash before cursor commit")))
+    with pytest.raises(RuntimeError, match="crash"):
+        mirror.sync(sink)
+    monkeypatch.setattr(ChangeFeedCursor, "commit", real_commit)
+    assert mirror._load_staged(), "crash window must leave staged buckets"
+    got = {r["content"] for r in mirror.read().collect()}
+    assert got == {"Y"}, "precondition: the crashed write landed"
+
+    # the value REVERTS to X: the recovery span's net diff is empty
+    # for this key, so only the staged snapshot-rebuild can repair it
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 30, "seq": 0, "repo": "o/r1",
+         "path": "a.py", "content": "X"},
+    ]), table), {"step": 3})
+    res = mirror.sync(sink)
+    assert not mirror._load_staged()
+    assert mirror.position() == res["version"]
+    got = {(r["repo"], r["path"], r["content"])
+           for r in mirror.read().collect()}
+    assert got == {("o/r1", "a.py", "X")}, \
+        "staged bucket must be rebuilt from the snapshot, not diffed"
+
+
+def test_mirror_crashed_bootstrap_drops_ghost_rows(
+        spark, tmp_root, monkeypatch):
+    """A crashed BOOTSTRAP's leftover partitions may hold keys the
+    table has since deleted; the restarted bootstrap's feed (the new
+    head as inserts) never mentions them, so using those partitions as
+    the apply base would keep ghost rows forever. The bootstrap apply
+    uses an empty base — leftovers are only overwritten or dropped."""
+    import pytest
+
+    from scylla_cdc_java_spark.sinks.changefeed import (
+        ChangeFeedCursor,
+        ParquetMirror,
+    )
+
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/gb_target", table,
+                            num_buckets=4)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0", "lang": "py"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "content": "keep"},
+        {**ins, "ms": 10, "seq": 1, "repo": "o/r2", "path": "b.py",
+         "content": "ghost"},
+    ]), table), {"step": 1})
+
+    mirror = ParquetMirror(spark, f"{tmp_root}/gb_mirror")
+    real_commit = ChangeFeedCursor.commit
+    monkeypatch.setattr(ChangeFeedCursor, "commit",
+                        lambda self, tok: (_ for _ in ()).throw(
+                            RuntimeError("crash before cursor commit")))
+    with pytest.raises(RuntimeError, match="crash"):
+        mirror.sync(sink)
+    monkeypatch.setattr(ChangeFeedCursor, "commit", real_commit)
+    assert mirror.position() is None
+    assert {r["repo"] for r in mirror.read().collect()} == \
+        {"o/r1", "o/r2"}, "precondition: the crashed bootstrap landed"
+
+    # the ghost key is deleted from the table before the re-bootstrap
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_DELETE, "ms": 20, "seq": 0, "repo": "o/r2",
+         "path": "b.py"},
+    ]), table), {"step": 2})
+    mirror.sync(sink)
+    got = {(r["repo"], r["content"]) for r in mirror.read().collect()}
+    assert got == {("o/r1", "keep")}, \
+        "re-bootstrap must not resurrect deleted keys from leftovers"
+
+
 def test_parquet_mirror_sync(spark, tmp_root):
     """ParquetMirror: a downstream table maintained ONLY from the
     change feed stays equal to the source after inserts, updates,
