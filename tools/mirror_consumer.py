@@ -8,8 +8,11 @@ training-data pipeline hangs off the ingest table. Zero coordination
 with the writer: each sync polls one atomically-published root,
 diffs two committed snapshots (fingerprint-pruned), rewrites only the
 mirror partitions of changed buckets, and commits its cursor LAST —
-a crash anywhere re-delivers the span, and the net-diff apply is
-idempotent, so the mirror converges (sinks/changefeed.ParquetMirror).
+a crash anywhere re-delivers; same-span redelivery converges via the
+idempotent net-diff apply, and a crash inside the write→commit window
+is recovered exactly via the staged-bucket sidecar (those buckets are
+rebuilt from the target snapshot, not diffed over — see
+sinks/changefeed.ParquetMirror's crash-recovery notes).
 
 Usage:
     python tools/mirror_consumer.py TARGET MIRROR_DIR
