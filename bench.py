@@ -136,11 +136,7 @@ def _replay_iters(spark, info: dict, cores: int, iters: int,
 
     n_rows = info["n_rows"]
     results = []
-    it = -1
-    while True:
-        it += 1
-        if it >= iters + extra_iters:
-            break
+    for it in range(iters + extra_iters):
         if it >= iters and any(
             r["steal_frac"] <= steal_frac_good for r in results
         ):

@@ -274,6 +274,13 @@ class ChangeFeedCursor:
             # crash-looping bootstrap must refresh ONE lease file, not
             # pin one head per attempt for a full lease_ttl_s each
             base = st if st is not None else {"version": None}
+            parent = os.path.dirname(self.state_path)
+            if parent:
+                # create the state dir like ParquetMirror does for its
+                # own: a missing parent would raise errno-2 here, which
+                # poll()'s retry classifier cannot tell from a transient
+                # vacuum race and would futilely retry 6 times
+                os.makedirs(parent, exist_ok=True)
             tmp = self.state_path + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump({**base, "id": self._minted_id}, f)
@@ -350,13 +357,14 @@ class ChangeFeedCursor:
         # into a next-poll retention lapse (the quad campaign's second
         # observed failure mode, surfaced under host-load stalls
         # longer than the vacuum's publication grace).
-        if pos is None:
-            span = [cur]
-        elif pos >= cur:
-            span = [pos]
-        else:
-            span = [pos, cur]
-        self._write_lease(self._cursor_id(st), span)
+        if self.sink is not None and self.lease_ttl_s > 0:
+            if pos is None:
+                span = [cur]
+            elif pos >= cur:
+                span = [pos]
+            else:
+                span = [pos, cur]
+            self._write_lease(self._cursor_id(st), span)
         if pos is not None and pos >= cur:
             return None, {"version": cur}
         if pos is None:
@@ -489,16 +497,25 @@ class ParquetMirror:
     def _staged_path(self) -> str:
         return os.path.join(self.path, "_staged.json")
 
-    def _load_staged(self) -> set:
+    def _load_staged(self, committed: int | None) -> set:
         """Bucket ids a previous sync wrote but never cursor-committed
         (its crash window) — their mirror partitions may hold images
         from a span the cursor does not record, so the recovering sync
         must rebuild them from the target snapshot, not apply a diff
-        over them."""
+        over them. A staged list whose target version is already
+        committed (`to` <= the cursor position) is a leftover from a
+        crash AFTER the commit but before the clear — those partitions
+        are exact, so it is cleared here instead of forcing a pointless
+        snapshot rebuild on the next non-empty span."""
         if not os.path.exists(self._staged_path):
             return set()
         with open(self._staged_path) as f:
-            return {int(b) for b in json.load(f)["buckets"]}
+            staged = json.load(f)
+        if (committed is not None and staged.get("to") is not None
+                and int(staged["to"]) <= committed):
+            self._clear_staged()
+            return set()
+        return {int(b) for b in staged["buckets"]}
 
     def _write_staged(self, buckets, version) -> None:
         tmp = self._staged_path + f".tmp.{uuid.uuid4().hex}"
@@ -625,7 +642,7 @@ class ParquetMirror:
         # always part of this sync's rewrite set (their fingerprints
         # cannot have reverted — entry paths are write-once — but a
         # value-neutral span could otherwise skip them)
-        recover = self._load_staged()
+        recover = self._load_staged(pos)
         changed = sorted(set(int(b) for b in changed) | recover)
         if pos is not None:
             # value-neutral spans (compaction/vacuum moved fingerprints
@@ -658,22 +675,24 @@ class ParquetMirror:
 
         try:
             empty_base = feed.select(*pk, *vals).where(F.lit(False))
-            try:
-                if pos is None:
-                    # bootstrap: the feed IS the complete truth — a
-                    # crashed earlier bootstrap's leftover partitions
-                    # may hold keys the table has since deleted, so
-                    # they are only ever overwritten or dropped (via
-                    # `changed`), never read as base
-                    raise FileNotFoundError
-                base = self.read().where(
-                    F.col(self.BUCKET_COL).isin(
-                        [int(b) for b in changed if b not in recover]))
-                # a mirror written before a schema evolution lacks the
-                # new columns the feed now carries — align, typed NULLs
-                base = _align(base, empty_base, vals).select(*pk, *vals)
-            except FileNotFoundError:
+            if pos is None:
+                # bootstrap: the feed IS the complete truth — a crashed
+                # earlier bootstrap's leftover partitions may hold keys
+                # the table has since deleted, so they are only ever
+                # overwritten or dropped (via `changed`), never read
+                # as base
                 base = empty_base
+            else:
+                try:
+                    base = self.read().where(
+                        F.col(self.BUCKET_COL).isin(
+                            [int(b) for b in changed if b not in recover]))
+                    # a mirror written before a schema evolution lacks
+                    # the new columns the feed now carries — align,
+                    # typed NULLs
+                    base = _align(base, empty_base, vals).select(*pk, *vals)
+                except FileNotFoundError:
+                    base = empty_base
             out = apply_changes(base, feed, pk, vals)
             if recover and pos is not None:
                 # rebuild staged buckets from the TARGET SNAPSHOT

@@ -465,7 +465,8 @@ def test_mirror_crash_recovery_rebuilds_staged_buckets(
     with pytest.raises(RuntimeError, match="crash"):
         mirror.sync(sink)
     monkeypatch.setattr(ChangeFeedCursor, "commit", real_commit)
-    assert mirror._load_staged(), "crash window must leave staged buckets"
+    assert mirror._load_staged(mirror.position()), \
+        "crash window must leave staged buckets"
     got = {r["content"] for r in mirror.read().collect()}
     assert got == {"Y"}, "precondition: the crashed write landed"
 
@@ -475,13 +476,21 @@ def test_mirror_crash_recovery_rebuilds_staged_buckets(
         {"op": OP_ROW_UPDATE, "ms": 30, "seq": 0, "repo": "o/r1",
          "path": "a.py", "content": "X"},
     ]), table), {"step": 3})
+    import os as _os
     res = mirror.sync(sink)
-    assert not mirror._load_staged()
+    assert not _os.path.exists(mirror._staged_path)
     assert mirror.position() == res["version"]
     got = {(r["repo"], r["path"], r["content"])
            for r in mirror.read().collect()}
     assert got == {("o/r1", "a.py", "X")}, \
         "staged bucket must be rebuilt from the snapshot, not diffed"
+
+    # crash AFTER the cursor commit but before the staged clear: the
+    # leftover names an already-committed version — discarded on the
+    # next load instead of forcing a pointless snapshot rebuild
+    mirror._write_staged([0, 1], res["version"])
+    assert mirror._load_staged(mirror.position()) == set()
+    assert not _os.path.exists(mirror._staged_path)
 
 
 def test_mirror_crashed_bootstrap_drops_ghost_rows(
