@@ -58,6 +58,31 @@ INDEX_DIR = os.path.join("meta", "index")
 # buckets per base shard: keeps each shard file ~1024 entries (~90 KB)
 # so a fold rewrites bounded-size files no matter how large num_buckets
 DEFAULT_SHARD_SIZE = 1024
+
+
+def atomic_write_json(full: str, obj, fsync: bool = True) -> None:
+    """The ONE durable atomic-JSON-write used by every metadata file
+    the root manifest can reference (index shards/deltas, per-bucket
+    manifests, snapshots, the root itself). tmp + ``os.replace`` gives
+    crash atomicity against process death; the fsync of the file
+    before the rename (and of the directory after) extends that to
+    power loss — without it the rename can journal before the data
+    blocks land, leaving a committed root pointing at a zero-length
+    side file, which bricks the table (sharding widened this blast
+    radius: the OLD inline root only ever risked the newest root)."""
+    tmp = full + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        if fsync:
+            f.flush()
+            os.fsync(f.fileno())
+    os.replace(tmp, full)
+    if fsync:
+        dfd = os.open(os.path.dirname(full) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 # fold pending deltas into base shards once this many accumulate: the
 # point lookup cost is O(n_deltas) small-file reads (cached) and the
 # root carries n_deltas path strings, so this bounds both
@@ -150,7 +175,26 @@ class ShardedBucketIndex(MutableMapping):
         b = str(b)
         if b not in self:
             raise KeyError(b)
-        self._overlay[b] = None  # tombstone: serializes as JSON null
+        if self._in_lower(b):
+            self._overlay[b] = None  # tombstone: serializes as JSON null
+        else:
+            # set-then-deleted within this same commit: nothing below
+            # the overlay to shadow, so drop the overlay entry instead
+            # of persisting a spurious null that every later
+            # delta-merge and fold would carry forever
+            del self._overlay[b]
+
+    def _in_lower(self, b: str) -> bool:
+        """True when the bucket exists in the delta/base layers beneath
+        the pending overlay (a delta-layer null means deleted there,
+        shadowing any base entry)."""
+        dm = self._deltas_merged()
+        if b in dm:
+            return dm[b] is not None
+        rel = self._base.get(str(self.shard_of(b)))
+        if rel is None:
+            return False
+        return self._load(rel).get(b) is not None
 
     def _materialized(self) -> dict:
         out: dict = {}
@@ -197,10 +241,7 @@ class ShardedBucketIndex(MutableMapping):
     def _write_json(root_dir: str, rel: str, obj: dict) -> None:
         full = os.path.join(root_dir, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
-        tmp = full + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(obj, f)
-        os.replace(tmp, full)
+        atomic_write_json(full, obj)
 
     @classmethod
     def create(cls, root_dir: str, entries: dict, num_buckets: int,

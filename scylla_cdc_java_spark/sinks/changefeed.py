@@ -509,13 +509,27 @@ class ParquetMirror:
         snapshot rebuild on the next non-empty span."""
         if not os.path.exists(self._staged_path):
             return set()
-        with open(self._staged_path) as f:
-            staged = json.load(f)
+        try:
+            with open(self._staged_path) as f:
+                staged = json.load(f)
+            buckets = {int(b) for b in staged["buckets"]}
+        except (ValueError, KeyError, TypeError):
+            # torn by power loss mid-write: the touched set is unknown,
+            # so every bucket the mirror holds is untrusted — rebuild
+            # them all (the bounded worst case; partitions are exact
+            # after it and the file is then cleared)
+            buckets = {
+                int(d.split("=", 1)[1])
+                for d in (os.listdir(self._data_dir)
+                          if os.path.isdir(self._data_dir) else ())
+                if d.startswith(self.BUCKET_COL + "=")
+            }
+            return buckets
         if (committed is not None and staged.get("to") is not None
                 and int(staged["to"]) <= committed):
             self._clear_staged()
             return set()
-        return {int(b) for b in staged["buckets"]}
+        return buckets
 
     def _write_staged(self, buckets, version) -> None:
         tmp = self._staged_path + f".tmp.{uuid.uuid4().hex}"

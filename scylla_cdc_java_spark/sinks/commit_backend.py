@@ -31,16 +31,30 @@ supply that serialization itself; this module is where.
 
 Crash-safety / ownership hazards handled here (round-5 ADVICE):
 
-* release verifies OWNERSHIP: the lock is renamed aside and its token
-  compared before the file is permanently removed, so a holder whose
-  lock was broken (it stalled past ``timeout_s``) can never delete the
-  NEW holder's lock. A detected break raises ``CommitLockBroken`` so
-  the caller knows its just-finished critical section may have raced.
+* release verifies OWNERSHIP twice: first in place (a lock that
+  already carries another token is reported broken WITHOUT touching
+  the file — no vacancy is ever created on the already-broken path),
+  then by rename-aside + token compare before the permanent remove, so
+  a holder whose lock was broken (it stalled past ``timeout_s``) can
+  never delete the NEW holder's lock. A detected break raises
+  ``CommitLockBroken`` so the caller knows its just-finished critical
+  section may have raced.
 * breaking a stale lock re-stats age IMMEDIATELY before the rename and
   verifies post-rename that the renamed file carries the token it
-  judged stale; if a fresh holder slipped into the stat→rename window,
-  the fresh lock is restored via ``os.link`` (which refuses to clobber
-  a third acquirer).
+  judged stale; if a fresh holder slipped into the stat→rename window
+  — or the renamed file is unreadable but YOUNG (an ``O_EXCL`` creator
+  between its open and write) — the displaced lock is restored via
+  ``os.link`` (which refuses to clobber a third acquirer).
+
+Residual windows, acknowledged: between a restore's rename and its
+link the path is briefly vacant, so a third acquirer polling in that
+microsecond gap can slip in — the displaced holder then detects the
+break at ITS release (token mismatch) and raises ``CommitLockBroken``,
+so mutual exclusion is never violated silently. On filesystems without
+hard links (some FUSE/object-store mounts) the restore falls back to
+``os.replace``, which may clobber such a third acquirer instead — same
+detection, at the other party's release. A catalog CAS backend has
+none of these windows.
 """
 
 from __future__ import annotations
@@ -105,6 +119,7 @@ class LockfileCommitBackend(CommitBackend):
             {"pid": os.getpid(), "ts": time.time(), "token": token}
         ).encode()
         deadline = time.time() + self.timeout_s + 10.0
+        last_seen = object()  # sentinel: any first holder resets it
         while True:
             try:
                 fd = os.open(self.lock_path,
@@ -115,6 +130,15 @@ class LockfileCommitBackend(CommitBackend):
             except FileExistsError:
                 pass
             holder = self._read(self.lock_path)
+            # the deadline guards against ONE holder exceeding
+            # timeout_s unbroken, not against fair-queue starvation: a
+            # change of holder proves global progress, so reset it
+            # (the unfair O_EXCL race has no queue; under contention a
+            # waiter can lose many rounds while commits keep landing)
+            holder_token = None if holder is None else holder.get("token")
+            if holder_token != last_seen:
+                last_seen = holder_token
+                deadline = time.time() + self.timeout_s + 10.0
             # re-stat IMMEDIATELY before deciding to break: a lock
             # released and re-acquired since our last look must be seen
             # as fresh here, not broken on a stale observation
@@ -123,40 +147,70 @@ class LockfileCommitBackend(CommitBackend):
             except OSError:
                 continue  # released between open and stat — retry now
             if age > self.timeout_s:
-                # crashed holder: break by RENAME, not remove — two
-                # breakers racing on remove could each delete the
-                # OTHER's freshly created lock. Rename succeeds for
-                # exactly one breaker; the loser loops.
-                stale = self.lock_path + f".stale.{uuid.uuid4().hex}"
-                try:
-                    os.rename(self.lock_path, stale)
-                except OSError:
-                    continue  # someone else broke or released it
-                got = self._read(stale)
-                if got is not None and (
-                    time.time() - float(got.get("ts", 0)) <= self.timeout_s
-                    or (holder is not None
-                        and got.get("token") != holder.get("token"))
-                ):
-                    # the renamed file is NOT the lock we judged stale
-                    # (a fresh holder slipped into the stat->rename
-                    # window): restore it. link() refuses to clobber if
-                    # a third process acquired meanwhile.
-                    with contextlib.suppress(OSError):
-                        os.link(stale, self.lock_path)
-                with contextlib.suppress(OSError):
-                    os.remove(stale)
+                self._try_break(holder)
                 continue
             if time.time() > deadline:
                 raise TimeoutError(
-                    f"commit lock held beyond {self.timeout_s}s: "
-                    f"{self.lock_path} (holder: {holder})"
+                    f"commit lock {self.lock_path} not acquired: the "
+                    f"same holder exceeded {self.timeout_s}s without "
+                    f"the lock going stale (holder: {holder})"
                 )
             time.sleep(0.02)
 
+    def _try_break(self, holder: dict | None) -> None:
+        """Break a lock judged stale (mtime past ``timeout_s``): rename
+        it aside — NOT remove; two breakers racing on remove could each
+        delete the OTHER's freshly created lock, while rename succeeds
+        for exactly one — then verify the renamed file really is the
+        stale lock before dropping it, restoring anything else."""
+        stale = self.lock_path + f".stale.{uuid.uuid4().hex}"
+        try:
+            os.rename(self.lock_path, stale)
+        except OSError:
+            return  # someone else broke or released it
+        got = self._read(stale)
+        if got is not None:
+            fresh = (
+                time.time() - float(got.get("ts", 0)) <= self.timeout_s
+                or (holder is not None
+                    and got.get("token") != holder.get("token"))
+            )
+        else:
+            # unreadable: an O_EXCL creator caught between its open
+            # and write (young — restore it, its pending write lands
+            # through the linked-back inode) vs a corrupt crashed lock
+            # (old — safe to drop)
+            try:
+                fresh = (time.time() - os.path.getmtime(stale)
+                         <= self.timeout_s)
+            except OSError:
+                fresh = True  # cannot prove stale: restore
+        if fresh:
+            # the renamed file is NOT the lock we judged stale (a
+            # fresh holder slipped into the stat->rename window):
+            # restore it
+            self._restore(stale)
+        else:
+            with contextlib.suppress(OSError):
+                os.remove(stale)
+
     def release(self, token: str) -> None:
+        # pre-check IN PLACE: if the lock already carries another
+        # token, we were broken and the path belongs to the new holder
+        # — report without touching the file (the old rename-first
+        # order created a vacancy here that a third acquirer could
+        # enter while the displaced lock was being restored)
+        in_place = self._read(self.lock_path)
+        if in_place is not None and in_place.get("token") != token:
+            raise CommitLockBroken(
+                f"commit lock {self.lock_path} was broken while held "
+                f"(our token {token}, found {in_place}): critical "
+                f"section may have raced"
+            )
         # rename-verify-remove: never permanently delete a lock whose
-        # token we have not confirmed post-rename is ours
+        # token we have not confirmed post-rename is ours (the
+        # read→rename gap above is the only remaining displacement
+        # window, and it requires a breaker firing inside it)
         tmp = self.lock_path + f".rel.{uuid.uuid4().hex}"
         try:
             os.rename(self.lock_path, tmp)
@@ -171,17 +225,34 @@ class LockfileCommitBackend(CommitBackend):
             with contextlib.suppress(OSError):
                 os.remove(tmp)
             return
-        # not ours: a breaker took our lock and a NEW holder owns the
-        # path now — put their lock back and report the break
-        with contextlib.suppress(OSError):
-            os.link(tmp, self.lock_path)
-        with contextlib.suppress(OSError):
-            os.remove(tmp)
+        # not ours: a breaker took our lock inside the read->rename gap
+        # and a NEW holder owns the path now — put their lock back and
+        # report the break
+        self._restore(tmp)
         raise CommitLockBroken(
             f"commit lock {self.lock_path} was broken while held "
             f"(our token {token}, found {got}): critical section may "
             f"have raced"
         )
+
+    def _restore(self, tmp: str) -> None:
+        """Put a displaced lock file back at ``lock_path``. ``link``
+        refuses to clobber a third acquirer that slipped into the
+        vacancy (they own the path; the displaced holder detects the
+        break at its own release via token mismatch). On filesystems
+        without hard links the fallback is ``replace``, which may
+        instead clobber such a third acquirer — same detection, at the
+        other party's release."""
+        try:
+            os.link(tmp, self.lock_path)
+        except FileExistsError:
+            pass  # third acquirer won the vacancy; path is theirs
+        except OSError:
+            with contextlib.suppress(OSError):
+                os.replace(tmp, self.lock_path)
+            return
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
 
     @staticmethod
     def _read(path: str) -> dict | None:
@@ -208,6 +279,7 @@ class InMemoryCASBackend(CommitBackend):
     def acquire(self) -> str:
         token = uuid.uuid4().hex
         deadline = time.time() + self.timeout_s + 10.0
+        last_seen = object()
         while True:
             with self._mu:  # one atomic conditional-put
                 now = time.time()
@@ -220,6 +292,10 @@ class InMemoryCASBackend(CommitBackend):
                     self.acquires += 1
                     self.breaks += 1
                     return token
+                holder_token = self._row["token"]
+            if holder_token != last_seen:  # progress: new holder
+                last_seen = holder_token
+                deadline = time.time() + self.timeout_s + 10.0
             if time.time() > deadline:
                 raise TimeoutError("commit lease held beyond timeout")
             time.sleep(0.005)

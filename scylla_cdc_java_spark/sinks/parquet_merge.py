@@ -131,6 +131,7 @@ from ..operators.tombstones import clustering_in_range
 from .bucket_index import (
     DEFAULT_FOLD_DELTAS,
     ShardedBucketIndex,
+    atomic_write_json,
     copy_index,
 )
 from .commit_backend import CommitBackend, LockfileCommitBackend
@@ -409,10 +410,7 @@ class ParquetMergeSink:
         rel = os.path.join("meta", f"b{b}", f"v{version}.json")
         full = os.path.join(self.path, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
-        tmp = full + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(st, f)
-        os.replace(tmp, full)
+        atomic_write_json(full, st)
         self._bmeta_cache[rel] = st
         return {
             "path": rel,
@@ -567,10 +565,7 @@ class ParquetMergeSink:
             snap_dir = os.path.join(self.path, "manifests")
             os.makedirs(snap_dir, exist_ok=True)
             snap = os.path.join(snap_dir, f"v{manifest['version']}.json")
-            tmp = snap + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, snap)
+            atomic_write_json(snap, manifest)
             if self.snapshot_retention is not None:
                 # auto-prune snapshot MANIFEST files (data files are
                 # vacuum()'s job) beyond the retention window
@@ -580,10 +575,7 @@ class ParquetMergeSink:
                             os.remove(os.path.join(snap_dir, f"v{v}.json"))
                         except OSError:
                             pass
-        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path)  # atomic commit point
+        atomic_write_json(self._manifest_path, manifest)  # commit point
 
     # ------------------------------------------------------------------
     # schema / expressions
@@ -1745,7 +1737,12 @@ class ParquetMergeSink:
                     continue
                 for f in list(os.listdir(bfull)):
                     rel = os.path.join("meta", bdir, f)
-                    if rel not in live_meta and f.endswith(".json"):
+                    # '.json.tmp.<hex>' files are writers that crashed
+                    # between open and os.replace — never referenced
+                    # (live_meta holds only final names), reaped by the
+                    # same grace rule so an in-flight write survives
+                    if rel not in live_meta and (
+                            f.endswith(".json") or ".json.tmp." in f):
                         try:
                             if (staging_grace_s > 0
                                     and now - os.path.getmtime(

@@ -63,6 +63,59 @@ def test_deletion_tombstones_through_flush(tmp_path):
         str(b) for b in range(10) if b != 3)
 
 
+def test_set_then_delete_same_commit_leaves_no_tombstone(tmp_path):
+    """A bucket added and deleted within ONE commit's overlay was
+    persisted as a spurious null that every later delta-merge and fold
+    carried forever; it must simply drop out of the overlay. A delete
+    of a bucket that exists BELOW the overlay still persists the
+    null."""
+    idx, _ = _mk(tmp_path, {str(b): _entry(b) for b in range(4)})
+    idx["77"] = _entry(77)
+    del idx["77"]
+    assert "77" not in idx
+    assert "77" not in idx._overlay, "overlay kept a junk tombstone"
+    # flush with only the junk candidate: no delta file is written
+    n_before = len(idx._deltas)
+    idx.flush(version=2)
+    assert len(idx._deltas) == n_before
+    # a real deletion (bucket lives in base) still writes a null
+    del idx["2"]
+    desc = idx.flush(version=3)
+    delta = json.load(
+        open(os.path.join(str(tmp_path), desc["deltas"][-1])))
+    assert delta == {"2": None}
+    fresh = ShardedBucketIndex(str(tmp_path), desc, cache={})
+    assert "2" not in fresh and "77" not in fresh
+    assert sorted(fresh.keys()) == ["0", "1", "3"]
+
+
+def test_vacuum_reaps_orphaned_tmp_files(tmp_path):
+    """A writer crashed between open(tmp) and os.replace leaves a
+    '<name>.json.tmp.<hex>' file that no root ever references; the
+    vacuum meta sweep (which matched only '.json' finals) must reap
+    those too, or crashes leak disk forever — while respecting the
+    same staging grace that protects a LIVE writer's in-flight tmp."""
+    path = str(tmp_path / "tbl")
+    sink = ParquetMergeSink(None, path, num_buckets=8, reader_lease_s=0)
+    root = sink._load_root()
+    root.update(version=1, bucket_index={
+        "0": {"segs": [], "tomb_segs": [], "tomb_rows": 0}})
+    sink._commit(root)
+    bdir = os.path.join(path, "meta", "b0")
+    idxdir = os.path.join(path, "meta", "index")
+    os.makedirs(bdir, exist_ok=True)
+    orphans = [os.path.join(bdir, "v9.json.tmp.deadbeef"),
+               os.path.join(idxdir, "delta-v9.x.json.tmp.deadbeef")]
+    for p in orphans:
+        open(p, "w").close()
+    # under a grace window, young tmp files (an in-flight writer's)
+    # survive
+    sink.vacuum(retain_snapshots=0, staging_grace_s=600)
+    assert all(os.path.exists(p) for p in orphans)
+    sink.vacuum(retain_snapshots=0)  # grace 0: crash remnants reaped
+    assert not any(os.path.exists(p) for p in orphans)
+
+
 def test_commit_is_o_touched_not_o_buckets(tmp_path):
     """The serialized root and the per-commit delta must not grow with
     num_buckets — the exact property the contention probe found

@@ -492,6 +492,24 @@ def test_mirror_crash_recovery_rebuilds_staged_buckets(
     assert mirror._load_staged(mirror.position()) == set()
     assert not _os.path.exists(mirror._staged_path)
 
+    # torn staged file (power loss mid-write): the touched set is
+    # unknown, so every bucket the mirror holds becomes untrusted
+    with open(mirror._staged_path, "w") as f:
+        f.write("{ torn")
+    on_disk = {
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(mirror._data_dir)
+        if d.startswith(mirror.BUCKET_COL + "=")
+    }
+    assert mirror._load_staged(mirror.position()) == on_disk
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 40, "seq": 0, "repo": "o/r1",
+         "path": "a.py", "content": "Z"},
+    ]), table), {"step": 4})
+    mirror.sync(sink)  # full rebuild of untrusted buckets, then clear
+    assert not _os.path.exists(mirror._staged_path)
+    assert {r["content"] for r in mirror.read().collect()} == {"Z"}
+
 
 def test_mirror_crashed_bootstrap_drops_ghost_rows(
         spark, tmp_root, monkeypatch):

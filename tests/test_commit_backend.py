@@ -96,6 +96,58 @@ def test_release_after_break_raises_and_preserves_new_holder(tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_break_restores_young_unreadable_lock(tmp_path):
+    """A breaker whose rename lands on an O_EXCL creator's not-yet-
+    written (empty) lock must RESTORE it, not drop it: the creator's
+    pending write lands through the linked-back inode and its acquire
+    stands. Previously an unreadable renamed file skipped the restore
+    guard entirely, deleting the new holder's lock — two concurrent
+    critical sections."""
+    be = LockfileCommitBackend(str(tmp_path / "L"), timeout_s=0.3)
+    # in-flight creator: exists, empty, YOUNG
+    fd = os.open(be.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    be._try_break(holder=None)
+    assert os.path.exists(be.lock_path), "young unreadable lock dropped"
+    # the creator's write lands through the restored (linked) inode
+    os.write(fd, json.dumps(
+        {"pid": 1, "ts": time.time(), "token": "inflight"}).encode())
+    os.close(fd)
+    assert json.load(open(be.lock_path))["token"] == "inflight"
+    # no stale-rename litter left behind
+    assert [f for f in os.listdir(tmp_path) if ".stale." in f] == []
+
+
+def test_break_drops_old_unreadable_lock(tmp_path):
+    """An unreadable lock OLDER than the timeout is a corrupt crash
+    remnant: the breaker drops it (restoring it forever would wedge
+    every acquire) and acquire() then proceeds."""
+    be = LockfileCommitBackend(str(tmp_path / "L"), timeout_s=0.3)
+    open(be.lock_path, "w").close()  # empty = unreadable
+    old = time.time() - 10
+    os.utime(be.lock_path, (old, old))
+    tok = be.acquire()  # breaks the corrupt lock and wins
+    assert json.load(open(be.lock_path))["token"] == tok
+    be.release(tok)
+
+
+def test_release_precheck_never_displaces_foreign_lock(tmp_path):
+    """When release finds another token IN PLACE it must report the
+    break without touching the file: the old rename-first order made
+    the path briefly vacant, letting a third acquirer in while the
+    displaced lock was restored."""
+    be = LockfileCommitBackend(str(tmp_path / "L"), timeout_s=5.0)
+    tok = be.acquire()
+    # a breaker broke us and a new holder owns the path now
+    with open(be.lock_path, "w") as f:
+        json.dump({"pid": 1, "ts": time.time(), "token": "theirs"}, f)
+    ino = os.stat(be.lock_path).st_ino
+    with pytest.raises(CommitLockBroken):
+        be.release(tok)
+    assert os.stat(be.lock_path).st_ino == ino, \
+        "release renamed the foreign lock aside (vacancy window)"
+    assert json.load(open(be.lock_path))["token"] == "theirs"
+
+
 def test_release_when_lock_vanished_raises(tmp_path):
     be = LockfileCommitBackend(str(tmp_path / "L"), timeout_s=5.0)
     tok = be.acquire()
