@@ -47,11 +47,11 @@ rescanned and that deletes leave the index.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 import time
-import uuid
 
 import numpy as np
 
@@ -75,6 +75,7 @@ from .similarity import (
     probe_lists_expr,
 )
 
+from ..sinks.bucket_index import atomic_write_json
 from ..sinks.bucket_index import entry_fingerprint as _entry_fingerprint
 
 BUCKET_COL = "__bucket"
@@ -86,12 +87,25 @@ class _BucketSyncedIndex:
     dynamic partition overwrite of exactly those index partitions, and
     drop-out of emptied/removed buckets. Subclasses provide
     ``value_cols`` and ``_values(docs, sink)`` — the derived columns to
-    keep per surviving row."""
+    keep per surviving row.
+
+    Reader-isolation note (known design bound): index partitions are
+    replaced IN PLACE (dynamic overwrite + rmtree of emptied buckets),
+    so a concurrent reader in ANOTHER process can hit a vanished file
+    mid-scan and must retry — the index is a derived, rebuildable
+    cache, not a versioned table; a consumer needing snapshot isolation
+    should query the SINK (which has manifests + leases) or copy the
+    index dir before a long scan. Same-process queries between syncs
+    are safe (sync and query never overlap in one maintainer)."""
 
     #: parquet subdirectory holding the index partitions
     data_subdir = "data"
     #: derived column names ``_values`` adds next to the pk columns
     value_cols: tuple = ()
+    #: within-partition sort columns for the written index (row-group
+    #: stats pruning) — applied AFTER the bucket repartition, where the
+    #: order actually survives into the files
+    sort_cols: tuple = ()
 
     def __init__(self, spark: SparkSession, path: str,
                  text_col: str = "content"):
@@ -108,14 +122,17 @@ class _BucketSyncedIndex:
     def _load_state(self) -> dict:
         if not os.path.exists(self._state_path):
             return {"fingerprints": {}, "table_version": None}
-        with open(self._state_path) as f:
-            return json.load(f)
+        try:
+            with open(self._state_path) as f:
+                return json.load(f)
+        except ValueError:
+            # torn by power loss (pre-fsync writers): fingerprints
+            # unknown -> empty means every bucket diffs as changed, a
+            # full (idempotent) resync
+            return {"fingerprints": {}, "table_version": None}
 
     def _save_state(self, st: dict) -> None:
-        tmp = self._state_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(st, f)
-        os.replace(tmp, self._state_path)
+        atomic_write_json(self._state_path, st)
 
     @property
     def _data_dir(self) -> str:
@@ -175,6 +192,12 @@ class _BucketSyncedIndex:
             # partitions present in this batch, leaves the rest alone
             out = out.repartition(
                 max(len(changed) // 4, 1), F.col(BUCKET_COL))
+            if self.sort_cols:
+                # sort AFTER the repartition: rows arrive at the writer
+                # bucket-contiguous and value-sorted, so parquet
+                # row-group min/max stats on the sort columns are tight
+                # (a sort before the repartition would be shuffled away)
+                out = out.sortWithinPartitions(BUCKET_COL, *self.sort_cols)
             # buckets that still HAVE rows, from THIS batch's output —
             # not from listdir, which also shows partitions written by
             # earlier syncs (a changed bucket whose rows were all
@@ -200,6 +223,11 @@ class _BucketSyncedIndex:
                 os.path.join(self._data_dir, f"{BUCKET_COL}={b}"),
                 ignore_errors=True,
             )
+        if changed:
+            # remember the index schema so data() can serve an EMPTY
+            # index (every row deleted -> every partition dropped)
+            # instead of claiming the index was never synced
+            atomic_write_json(self._schema_path, {"ddl": out.schema.json()})
 
         st = {"fingerprints": cur_fp, "table_version": root["version"]}
         self._save_state(st)
@@ -207,12 +235,25 @@ class _BucketSyncedIndex:
                 "table_version": root["version"],
                 "sync_s": time.time() - t0}
 
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.path, "_schema.json")
+
     # -- query side ------------------------------------------------------
     def data(self) -> DataFrame:
         """The current index: (pk columns..., *value_cols, __bucket)."""
         if not os.path.isdir(self._data_dir) or not any(
             d.startswith(BUCKET_COL + "=") for d in os.listdir(self._data_dir)
         ):
+            if os.path.exists(self._schema_path):
+                # synced at least once, currently EMPTY (every row
+                # deleted): a valid zero-row index, not a usage error
+                from pyspark.sql.types import StructType
+
+                with open(self._schema_path) as f:
+                    schema = StructType.fromJson(
+                        json.loads(json.load(f)["ddl"]))
+                return self.spark.createDataFrame([], schema=schema)
             raise FileNotFoundError(
                 f"no index data at {self._data_dir}; run sync() first")
         return self.spark.read.parquet(self._data_dir)
@@ -346,6 +387,7 @@ class IncrementalIVFIndex(_BucketSyncedIndex):
 
     data_subdir = "ivf"
     value_cols = ("emb", "list")
+    sort_cols = ("list",)
 
     def __init__(self, spark: SparkSession, path: str,
                  text_col: str = "content", dim: int = 16,
@@ -374,11 +416,12 @@ class IncrementalIVFIndex(_BucketSyncedIndex):
 
     def _persist_centroids(self, cn: np.ndarray) -> None:
         # json round-trips python floats exactly (repr) — assignments
-        # after a process restart are bit-identical
-        tmp = self._centroid_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump([[float(x) for x in row] for row in cn], f)
-        os.replace(tmp, self._centroid_path)
+        # after a process restart are bit-identical; fsync'd, since a
+        # torn centroid file could only be "fixed" by retraining, which
+        # would silently desynchronize every existing list assignment
+        atomic_write_json(
+            self._centroid_path,
+            [[float(x) for x in row] for row in cn])
         self._cn = cn
 
     def _ensure_centroids(self, docs: DataFrame) -> np.ndarray | None:
@@ -398,6 +441,14 @@ class IncrementalIVFIndex(_BucketSyncedIndex):
         ).collect()
         if not sample:
             return None
+        # the orderBy above selects WHICH docs, but hashed_embeddings'
+        # group-by destroys row order, so collect() returns the sample
+        # partition-order-dependent — and _kmeans_centroids' seeded
+        # init indexes into the array, so the TRAINED centroids would
+        # vary with --cores/shuffle settings. Re-impose the md5 order
+        # driver-side: same docs, same order, same centroids, always.
+        sample.sort(key=lambda r: (
+            hashlib.md5(r["_doc_key"].encode()).hexdigest(), r["_doc_key"]))
         vecs = np.asarray([r["emb"] for r in sample], dtype=np.float64)
         cn = _kmeans_centroids(vecs, self.n_lists, self.seed)
         norms = np.linalg.norm(cn, axis=1, keepdims=True)
@@ -424,8 +475,9 @@ class IncrementalIVFIndex(_BucketSyncedIndex):
             .withColumn("_dots", _centroid_dots_expr(F.col("emb"), cn))
             .withColumn("list", argmax_expr(F.col("_dots")))
             .drop("_dots")
-            # row-group stats on `list` let by-list probes skip groups
-            .sortWithinPartitions("list")
+            # sorting by `list` happens in sync()'s write path via
+            # ``sort_cols`` — AFTER the bucket repartition; a sort here
+            # would be shuffled away before the files are written
         )
 
     # -- query side ----------------------------------------------------------

@@ -149,6 +149,19 @@ def test_sync_drops_deleted_buckets(spark, tmp_root):
     assert len(got) == 1 and got[0][0].startswith("r1")
     assert s["changed"] or s["removed"]
 
+    # delete the LAST surviving row too: a fully-empty index is a valid
+    # state — data() serves zero rows off the persisted schema instead
+    # of claiming the index was never synced
+    sink.merge(fold_batch(batch([
+        {"op": OP_PARTITION_DELETE, "ms": 3000, "seq": 0, "repo": "r1",
+         "path": None},
+    ]), tbl))
+    sink.compact()
+    idx.sync(sink)
+    empty = idx.data()
+    assert empty.count() == 0
+    assert "sig" in empty.columns
+
 
 def test_external_index_maintainer_during_replay(spark, tmp_root):
     """The real deployment shape: ``tools/index_maintainer.py`` in a
@@ -606,3 +619,77 @@ def test_hashed_embeddings_match_python_mirror(spark):
            for r in hashed_embeddings(df, dim=16, shingle_k=3).collect()}
     for i, t in enumerate(texts):
         assert got[i] == _hashed_embedding(t, 3, 16), (i, t)
+
+
+def test_ivf_centroid_training_partition_order_invariant(spark, tmp_root):
+    """The trained quantizer must not depend on Spark partitioning: the
+    md5 orderBy selects WHICH docs train it, but hashed_embeddings'
+    group-by destroys row order, and _kmeans_centroids' seeded init
+    indexes into the collected array — without the driver-side re-sort
+    two maintainers with different --cores would train different
+    centroids over the identical table."""
+    import numpy as np
+
+    from scylla_cdc_java_spark.datapipe.incremental import IncrementalIVFIndex
+
+    docs = spark.createDataFrame(
+        [(f"k{i}", f"alpha beta {i % 7} gamma delta {i}")
+         for i in range(60)],
+        "_doc_key string, _text string")
+    cn1 = IncrementalIVFIndex(
+        spark, f"{tmp_root}/ivf_det1", dim=16, n_lists=4
+    )._ensure_centroids(docs.repartition(1))
+    cn2 = IncrementalIVFIndex(
+        spark, f"{tmp_root}/ivf_det2", dim=16, n_lists=4
+    )._ensure_centroids(docs.repartition(7))
+    assert np.array_equal(cn1, cn2), "centroids depend on partitioning"
+
+
+def test_ivf_index_files_sorted_by_list(spark, tmp_root):
+    """Each written IVF index FILE must be sorted by `list` so parquet
+    row-group min/max stats prune by-list ANN probes — the sort has to
+    ride the write path AFTER the bucket repartition (a sort applied
+    before it is shuffled away, the round-5-initial bug)."""
+    import glob as _glob
+
+    from scylla_cdc_java_spark.datapipe.incremental import IncrementalIVFIndex
+    from scylla_cdc_java_spark.model import OP_ROW_INSERT, TableConfig
+    from scylla_cdc_java_spark.operators.fold import fold_batch, normalize_log
+    from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+
+    tbl = TableConfig()
+    cols = ["repo", "path", "commit", "lang", "content"]
+    sid = b"\x0e" * 16
+    rows = [
+        {"op": OP_ROW_INSERT, "ms": 1000, "seq": i, "repo": f"r{i % 6}",
+         "path": f"p{i}", "commit": "c", "lang": "py",
+         "content": f"word{i % 11} alpha {i} beta {i % 5} gamma"}
+        for i in range(48)
+    ]
+    data = [
+        (sid, {"ms": r["ms"], "seq": r["seq"]}, r["op"],
+         *[r.get(c) for c in cols])
+        for r in rows
+    ]
+    ddl = (
+        "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+        "`cdc$operation` tinyint, "
+        + ", ".join(f"`{c}` string" for c in cols)
+    )
+    batch = normalize_log(spark.createDataFrame(data, schema=ddl))
+    sink = ParquetMergeSink(spark, f"{tmp_root}/ivfsort_tbl", table=tbl,
+                            num_buckets=4)
+    sink.merge(fold_batch(batch, tbl), {"step": 1})
+    idx = IncrementalIVFIndex(spark, f"{tmp_root}/ivfsort_idx",
+                              text_col="content", dim=16, n_lists=4)
+    idx.sync(sink)
+    files = _glob.glob(f"{tmp_root}/ivfsort_idx/ivf/**/*.parquet",
+                       recursive=True)
+    assert files
+    checked = 0
+    for f in files:
+        lists = [r["list"] for r in spark.read.parquet(f)
+                 .select("list").collect()]
+        assert lists == sorted(lists), (f, lists)
+        checked += len(lists)
+    assert checked == 48

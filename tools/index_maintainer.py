@@ -102,7 +102,33 @@ def main() -> int:
             # read done BEFORE the sync: only a sync that STARTED with
             # done=True is guaranteed to have observed every commit
             was_done = writer_done(sink.checkpoint(), args.expect_shards)
-            s = idx.sync(sink)
+            try:
+                s = idx.sync(sink)
+            except Exception as e:  # noqa: BLE001 — classified below
+                from scylla_cdc_java_spark.sinks.changefeed import (
+                    _is_transient_read_race,
+                )
+
+                if not _is_transient_read_race(e):
+                    raise
+                # a long sync can outlive its read leases and lose
+                # files to a concurrent vacuum mid-job; the sync is
+                # idempotent (fingerprint state commits last), so the
+                # next round simply redoes it against fresh metadata
+                rec = {"ts": round(time.time(), 2),
+                       "transient_retry": str(e)[:200]}
+                line = json.dumps(rec)
+                print(line, flush=True)
+                if log:
+                    log.write(line + "\n")
+                    log.flush()
+                rounds += 1
+                quiet_done_streak = 0
+                if args.once or (args.max_rounds
+                                 and rounds >= args.max_rounds):
+                    break
+                time.sleep(args.interval)
+                continue
             quiet = not s["changed"] and not s["removed"]
             quiet_done_streak = quiet_done_streak + 1 \
                 if (was_done and quiet) else 0
