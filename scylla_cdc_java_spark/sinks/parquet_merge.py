@@ -1280,6 +1280,10 @@ class ParquetMergeSink:
             "touched_buckets": touched,
             "version": version,
             "delta_rows": delta_rows,
+            # sidecar rows this window (footer-derived, no extra job):
+            # lets the tail backoff see a tombstone-only window as
+            # consumed work, not an idle poll
+            "tomb_rows": sum(tomb_rows_new.values()),
             "pending_ranges": pending_starts,
             "pending_ends": pending_ends,
             # driver-side metadata cost of this commit (bucket-manifest

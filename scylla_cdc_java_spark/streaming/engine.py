@@ -239,7 +239,13 @@ class Engine:
         # one stream per generation, group subsets shard the key space —
         # several Engines with disjoint subsets and separate targets form
         # a multi-executor deployment with no cross-executor traffic.
-        self.stream_groups = sorted(stream_groups) if stream_groups else None
+        # `is not None`, not truthiness: an explicit [] means "this
+        # engine owns NO groups" (a fleet driver sharding N groups over
+        # k>N engines hands some engines an empty assignment) — mapping
+        # it to None would make those engines replay EVERYTHING,
+        # breaking shard disjointness
+        self.stream_groups = (
+            sorted(stream_groups) if stream_groups is not None else None)
         # Hot-group salting (the north-star skew control at the TASK
         # level): ``group_salt[g] = (k, i)`` means this Engine owns only
         # the keys of group g whose clustering-key hash ≡ i (mod k).
@@ -263,8 +269,10 @@ class Engine:
         # file sets are REPLACED, not accumulated — a long-running tail
         # appending to a bucket keeps exactly one entry per bucket
         self._tb_bounds_cache: dict = {}
-        # path -> (min_ms, max_ms, rows) | None from parquet footers;
-        # log files are write-once, so entries never go stale
+        # path -> (min_ms, max_ms, rows) from parquet footers; log
+        # files are write-once, so SUCCESSFUL reads never go stale —
+        # an unreadable footer (a file listed mid-write in live tail)
+        # is NOT cached, so it is retried once fully written
         self._file_stats_cache: dict = {}
         self._gens_cache: list | None = None
         self._gens_fetched_ms: int = -(10**18)
@@ -293,16 +301,31 @@ class Engine:
         if hi_tb - lo_tb > 64:  # huge window (epoch-0 backfill): don't bother
             return True
         base = os.path.join(glob.escape(self.log_dir), f"generation={gstart}")
+        # restrict to OWNED group dirs: a sharded engine polling a
+        # window whose events live only in foreign groups must see it
+        # as empty (checkpoint-only advance), not run an empty
+        # fold+merge per window
+        if self.stream_groups is not None or self.group_salt:
+            mine = set(self.stream_groups or []) | set(self.group_salt)
+            sg_dirs = [f"stream_group={g}" for g in sorted(mine)]
+        else:
+            sg_dirs = ["stream_group=*"]
         for tb in range(lo_tb, hi_tb + 1):
-            files = tuple(sorted(glob.glob(os.path.join(
-                base, "stream_group=*", f"time_bucket={tb}", "*.parquet"))))
+            files = tuple(sorted(
+                f for sg in sg_dirs
+                for f in glob.glob(os.path.join(
+                    base, sg, f"time_bucket={tb}", "*.parquet"))))
             if not files:
                 continue
             key = (gstart, tb)
             cached = self._tb_bounds_cache.get(key)
             if cached is None or cached[0] != files:
-                cached = (files, _files_ms_bounds(files))
-                self._tb_bounds_cache[key] = cached
+                b = _files_ms_bounds(files)
+                cached = (files, b)
+                if b is not None:
+                    # cache only readable stats: a footer missing
+                    # mid-write must be retried once the file is whole
+                    self._tb_bounds_cache[key] = cached
             bounds = cached[1]
             if bounds is None:  # stats unavailable -> assume data
                 return True
@@ -323,8 +346,13 @@ class Engine:
         base = os.path.join(glob.escape(self.log_dir), f"generation={gstart}")
         lo_tb = start_ms // self.time_bucket_ms
         hi_tb = (end_ms - 1) // self.time_bucket_ms
-        if self.stream_groups is not None:
-            mine = set(self.stream_groups) | set(self.group_salt)
+        # same ownership gate as every other sharding check: a
+        # SALT-ONLY engine (stream_groups None, group_salt set) owns
+        # slices of exactly the salted groups — estimating over ALL
+        # groups would systematically overestimate and over-split
+        # row-capped windows
+        if self.stream_groups is not None or self.group_salt:
+            mine = set(self.stream_groups or []) | set(self.group_salt)
             sg_dirs = [f"stream_group={g}" for g in sorted(mine)]
         else:
             sg_dirs = ["stream_group=*"]
@@ -337,9 +365,13 @@ class Engine:
                 for f in glob.glob(os.path.join(glob.escape(tbdir),
                                                 "*.parquet")):
                     st = self._file_stats_cache.get(f)
-                    if f not in self._file_stats_cache:
+                    if st is None:
                         st = _file_ms_rows(f)
-                        self._file_stats_cache[f] = st
+                        if st is not None:
+                            # cache successes only: a mid-write footer
+                            # must be retried next poll, not poison the
+                            # cache (and disable row cropping) forever
+                            self._file_stats_cache[f] = st
                     if st is None:
                         return None
                     out.append(st)
@@ -388,9 +420,10 @@ class Engine:
                 lo = mid
             else:
                 hi = mid
+        # lo >= start_ms + 1, so new_end > w.start_ts always: when even
+        # 1 ms of data exceeds the cap, the result is that minimal 1 ms
+        # window, over the cap — time is the finest split grain
         new_end = _pack_ms_bound(lo)
-        if new_end <= w.start_ts:  # 1 ms of data alone exceeds the cap
-            return w
         if new_end >= w.end_ts:
             return w
         return FetchingWindow(start_ts=w.start_ts, end_ts=new_end,
@@ -447,6 +480,33 @@ class Engine:
         return df.where(
             (F.col(COL_TS) > w.start_ts) & (F.col(COL_TS) <= w.end_ts)
         )
+
+    def _verify_preimages(self, slice_df, fold) -> int:
+        """Verify op-0 rows against state-before-change (replicator
+        preimage mode, Main.java:653-672) BEFORE applying the batch.
+        Target read is bucket-pruned to the partitions that actually
+        carry preimage rows (one column-pruned scan of the slice) —
+        the merge-on-read resolve then touches only those buckets, not
+        the whole table. Shared by replay() and _tail_step(): the
+        mode's verification guarantee must not silently vanish in live
+        tail."""
+        from ..model import OP_PREIMAGE
+        from ..operators.preimage import check_preimages
+
+        pre_buckets = [
+            r["b"]
+            for r in slice_df.where(F.col(COL_OP) == OP_PREIMAGE)
+            .select(self.sink._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not pre_buckets:
+            return 0
+        mism = check_preimages(
+            slice_df, self.sink.read_physical(pre_buckets),
+            self.table, range_tombs=fold.range_tombs,
+        )
+        return mism.count()
 
     # ------------------------------------------------------------------
     def replay(self, collect_group_metrics: bool = False) -> ReplayStats:
@@ -545,7 +605,11 @@ class Engine:
                     groups_ckpt[str(g)] = ent
                 is_last_gen = gi + 1 >= len(gens)
                 new_ckpt = {
-                    "gen_index": gi + 1 if w.last_window else gi,
+                    # stay ON the open generation when closing it (see
+                    # the data-window commit below): a later tail()
+                    # must be able to consume post-replay appends
+                    "gen_index": gi + 1
+                    if (w.last_window and not is_last_gen) else gi,
                     "last_ts": w.end_ts,
                     "groups": groups_ckpt,
                     "pending_ranges": [] if w.last_window else [
@@ -582,28 +646,8 @@ class Engine:
                 impl=self.cfg.extra.get("fold_impl", "sql"),
             )
             if self.cfg.mode == "preimage":
-                # verify op-0 rows against state-before-change (replicator
-                # preimage mode, Main.java:653-672) BEFORE applying the
-                # batch. Target read is bucket-pruned to the partitions
-                # that actually carry preimage rows (one column-pruned
-                # scan of the slice) — the merge-on-read resolve then
-                # touches only those buckets, not the whole table.
-                from ..model import OP_PREIMAGE
-                from ..operators.preimage import check_preimages
-
-                pre_buckets = [
-                    r["b"]
-                    for r in slice_df.where(F.col(COL_OP) == OP_PREIMAGE)
-                    .select(self.sink._bucket_expr().alias("b"))
-                    .distinct()
-                    .collect()
-                ]
-                if pre_buckets:
-                    mism = check_preimages(
-                        slice_df, self.sink.read_physical(pre_buckets),
-                        self.table, range_tombs=fold.range_tombs,
-                    )
-                    stats.preimage_mismatches += mism.count()
+                stats.preimage_mismatches += self._verify_preimages(
+                    slice_df, fold)
             group_rows: dict[str, int] = {}
             window_rows = 0
             if collect_group_metrics:
@@ -637,7 +681,16 @@ class Engine:
             # with stale starts injected into the next generation, where
             # a later END op could mis-pair into a spurious tombstone
             new_ckpt = {
-                "gen_index": gi + 1 if w.last_window else gi,
+                # the OPEN (final) generation's close bound is only the
+                # footer max at replay time — the generation can keep
+                # growing. Persist gen_index pointing AT it (done=True
+                # still short-circuits a re-replay), so a later tail()
+                # resumes INSIDE it from last_ts and consumes
+                # post-replay appends; advancing past it made those
+                # events unreachable forever once a next generation
+                # appeared (tail reads only generation==gens[gi])
+                "gen_index": gi + 1 if (w.last_window and not is_last_gen)
+                else gi,
                 "last_ts": w.end_ts,
                 "groups": groups_ckpt,
                 "done": bool(w.last_window and is_last_gen),
@@ -684,13 +737,13 @@ class Engine:
         stats = ReplayStats()
         t0 = time.time()
         for _ in range(max_windows):
-            before = self.sink.checkpoint(shard=self.shard_id)
             s = self._tail_step()
             if s is None:
                 time.sleep(self.cfg.poll_idle_s * self.cfg.sleep_scale)
                 continue
             stats.windows += 1
             stats.rows += s["rows"]
+            stats.preimage_mismatches += s.get("preimage_mismatches", 0)
             delay = (
                 self.cfg.poll_cropped_s
                 if s["cropped"]
@@ -792,7 +845,15 @@ class Engine:
             {**p, "stream_id": bytes.fromhex(p["stream_id"])}
             for p in ckpt.get("pending_ranges", [])
         ]
-        fold = fold_batch(slice_df, self.table, pending, mode=self.cfg.mode)
+        fold = fold_batch(
+            slice_df, self.table, pending, mode=self.cfg.mode,
+            impl=self.cfg.extra.get("fold_impl", "sql"),
+        )
+        mismatches = 0
+        if self.cfg.mode == "preimage":
+            # same verification replay() runs — live tail must not
+            # silently drop the mode's guarantee
+            mismatches = self._verify_preimages(slice_df, fold)
         new_ckpt = {
             "gen_index": gi + 1 if w.last_window else gi,
             "last_ts": w.end_ts,
@@ -808,4 +869,12 @@ class Engine:
         # footers (driver-side) — round 2 ran an extra full-scan
         # count() job per tail window just for the backoff decision
         mstats = self.sink.merge(fold, new_ckpt, shard=self.shard_id)
-        return {"rows": mstats.get("delta_rows", 0), "cropped": w.cropped}
+        # backoff signal = consumed CHANGES, not just applied state
+        # rows: a tombstone-only window (ops 4-8) writes an empty
+        # key-state delta but real sidecar rows — the reference keys
+        # its busy tier on consumed changes (Worker.java:130), so a
+        # delete storm must poll at the busy tier, not idle
+        return {"rows": mstats.get("delta_rows", 0)
+                + mstats.get("tomb_rows", 0),
+                "cropped": w.cropped,
+                "preimage_mismatches": mismatches}
