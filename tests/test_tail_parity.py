@@ -220,3 +220,58 @@ def test_sharded_foreign_window_advances_with_zero_jobs(spark, tmp_root):
     assert list(ids) == [], ids
     ck2 = eng.sink.checkpoint(shard="s1")
     assert ck2["last_ts"] > ck1["last_ts"]  # progress without jobs
+
+
+# ---------------------------------------------------------------------
+# 4. tail-mode fleet sharding: the gates must skip ONLY foreign data
+# ---------------------------------------------------------------------
+
+def test_tail_fleet_salted_shards_union_matches_oracle(spark, tmp_root):
+    """The replay-mode fleet tests have a tail() twin: two engines —
+    each owning whole groups plus one salt slice of the hot group —
+    live-tail the same log in many small windows. The ownership-gated
+    footer checks must skip exactly the foreign windows and never an
+    owned one: the union of the two targets equals the oracle state.
+    This is the e2e tooth for the round-5 gating change (a gate that
+    over-skips loses data silently; per-window unit tests can't see
+    that)."""
+    from scylla_cdc_java_spark import GenSpec, generate_world, write_world
+
+    spec = GenSpec(seed=23, n_events=2400, n_repos=30, paths_per_repo=10,
+                   zipf_a=1.4, n_generations=2, streams_per_generation=16,
+                   gen_span_ms=60_000)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/world_tailfleet")
+    end_ms = spec.gen0_start_ms + 2 * spec.gen_span_ms
+    n_groups = 8
+    hot = 0
+    shards = [
+        dict(stream_groups=[g for g in range(1, n_groups) if g % 2 == 1],
+             group_salt={hot: (2, 0)}),
+        dict(stream_groups=[g for g in range(1, n_groups) if g % 2 == 0],
+             group_salt={hot: (2, 1)}),
+    ]
+    rows = []
+    for e, sh in enumerate(shards):
+        eng = Engine(
+            spark, info["log_dir"], info["generations_path"],
+            f"{tmp_root}/tailfleet_{e}",
+            clock=lambda: end_ms + 60_000, **sh,
+            cfg=EngineConfig(window_length_limit_ms=20_000,
+                             sleep_scale=0.0),
+        )
+        stats = eng.tail(max_windows=30)
+        assert stats.rows > 0
+        rows += [
+            {"repo": r["repo"], "path": r["path"], "commit": r["commit"],
+             "lang": r["lang"], "content": r["content"]}
+            for r in eng.sink.read().collect()
+        ]
+    assert len(rows) == len({(r["repo"], r["path"]) for r in rows}), \
+        "tail shards overlap in keys"
+    rows.sort(key=lambda r: (r["repo"], r["path"]))
+    oracle = [
+        {k: r[k] for k in ("repo", "path", "commit", "lang", "content")}
+        for r in final_state(replay(world["events"]))
+    ]
+    assert rows == oracle
