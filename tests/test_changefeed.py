@@ -8,6 +8,8 @@ batches, consumer-side reconstruction (old snapshot + feed == new
 snapshot), and an engine-replay diff against the pure-Python oracle
 replayed to the same window boundary (collections included)."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from scylla_cdc_java_spark import Engine, GenSpec, generate_world, write_world
@@ -816,3 +818,109 @@ def test_feed_matches_oracle_prefix_diff(spark, tmp_root):
     # teeth: at least one boundary must have produced genuine updates
     # and deletes, or the classification was never exercised
     assert checked_updates > 0
+
+
+def test_two_mirrors_consume_one_table_independently(spark, tmp_root):
+    """Two downstream consumers (separate cursor state, distinct lease
+    ids) track one table at different paces: the lagging consumer's
+    lease must protect ITS resume snapshot across an aggressive vacuum
+    even while the fast consumer keeps committing newer positions —
+    multi-consumer retention is per-cursor, not last-writer-wins."""
+    from scylla_cdc_java_spark.sinks.changefeed import ParquetMirror
+
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/mm_target", table,
+                            num_buckets=8)
+    fast = ParquetMirror(spark, f"{tmp_root}/mm_fast")
+    slow = ParquetMirror(spark, f"{tmp_root}/mm_slow")
+    ins = {"op": OP_ROW_INSERT, "commit": "c0", "lang": "py"}
+
+    def state(m):
+        return sorted(
+            (r["repo"], r["path"], r["content"])
+            for r in m.read().collect()
+        )
+
+    def src():
+        return sorted(
+            (r["repo"], r["path"], r["content"])
+            for r in sink.read().collect()
+        )
+
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": i, "repo": f"o/r{i}", "path": "a.py",
+         "content": f"v{i}"} for i in range(4)
+    ]), table), {"step": 1})
+    assert fast.sync(sink)["applied_rows"] == 4
+    assert slow.sync(sink)["applied_rows"] == 4
+
+    # both consumers hold leases under cursors/ with distinct ids
+    leases = os.listdir(os.path.join(sink.path, "cursors"))
+    assert len(leases) == 2, leases
+
+    # the table moves on; only the fast consumer follows
+    for step, ms in ((2, 20), (3, 30), (4, 40)):
+        sink.merge(fold_batch(_batch(spark, [
+            {"op": OP_ROW_UPDATE, "ms": ms, "seq": 0, "repo": "o/r1",
+             "path": "a.py", "content": f"u{step}"},
+        ]), table), {"step": step})
+        fast.sync(sink)
+    assert state(fast) == src()
+    slow_pos = slow.position()
+    assert slow_pos < fast.position()
+
+    # aggressive vacuum: the slow consumer's snapshot survives via its
+    # lease even though retain_snapshots=1 would reap it
+    sink.vacuum(retain_snapshots=1)
+    sink._load_root(slow_pos)  # still readable
+    # and the slow consumer catches up to the exact table state
+    slow.sync(sink)
+    assert state(slow) == src()
+    assert slow.position() == fast.position()
+
+
+def test_mirror_follows_rollback_as_forward_diff(spark, tmp_root):
+    """rollback() commits the OLD snapshot as a NEW version, so a feed
+    consumer sees the revert as an ordinary forward span — updates
+    back to the old values, deletes of rows that postdate the rollback
+    point — and a mirror converges to the rolled-back table without
+    any special casing (a counter-rewind design would instead stall
+    every consumer at 'caught up' forever)."""
+    from scylla_cdc_java_spark.sinks.changefeed import ParquetMirror
+
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/rb_target", table,
+                            num_buckets=8)
+    mirror = ParquetMirror(spark, f"{tmp_root}/rb_mirror")
+    ins = {"op": OP_ROW_INSERT, "commit": "c0", "lang": "py"}
+
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "content": "old"},
+    ]), table), {"step": 1})
+    v_good = sink.manifest()["version"]
+
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "o/r1",
+         "path": "a.py", "content": "bad"},
+        {**ins, "ms": 20, "seq": 1, "repo": "o/r2", "path": "b.py",
+         "content": "junk"},
+    ]), table), {"step": 2})
+    mirror.sync(sink)
+    assert sorted(
+        (r["repo"], r["content"]) for r in mirror.read().collect()
+    ) == [("o/r1", "bad"), ("o/r2", "junk")]
+    v_bad = mirror.position()
+
+    sink.rollback(v_good)
+    # the revert is an ordinary forward feed span...
+    feed = _feed_rows(sink, v_bad)
+    kinds = {(r[0], r[2]) for r in feed}
+    assert ("o/r1", CT_UPDATE_POST) in kinds  # back to "old"
+    assert ("o/r2", "delete") in kinds        # postdated row removed
+    # ...and the mirror converges to the rolled-back table
+    mirror.sync(sink)
+    assert sorted(
+        (r["repo"], r["content"]) for r in mirror.read().collect()
+    ) == [("o/r1", "old")]
+    assert mirror.sync(sink)["applied_rows"] == 0  # caught up, no stall
