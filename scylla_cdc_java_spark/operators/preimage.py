@@ -70,6 +70,33 @@ def _canon_map(d: dict | None) -> str | None:
     return json.dumps(d, sort_keys=True, separators=(",", ":"))
 
 
+def verify_preimages(sink, table: TableConfig, slice_df: DataFrame,
+                     fold) -> int:
+    """Count op-0 mismatches for one window/batch BEFORE it is applied
+    (replicator preimage mode, Main.java:653-672). The target read is
+    bucket-pruned to the partitions that actually carry preimage rows
+    (one column-pruned scan of the slice) — the merge-on-read resolve
+    then touches only those buckets, never the whole table. ONE
+    implementation shared by every consumption surface — batch
+    ``Engine.replay``, poll-loop ``Engine.tail`` and the Structured
+    Streaming ``StructuredTail`` — so the mode's verification guarantee
+    cannot silently vanish on any of them."""
+    pre_buckets = [
+        r["b"]
+        for r in slice_df.where(F.col(COL_OP) == OP_PREIMAGE)
+        .select(sink._bucket_expr().alias("b"))
+        .distinct()
+        .collect()
+    ]
+    if not pre_buckets:
+        return 0
+    mism = check_preimages(
+        slice_df, sink.read_physical(pre_buckets),
+        table, range_tombs=fold.range_tombs,
+    )
+    return mism.count()
+
+
 def check_preimages(
     batch_df: DataFrame,
     target_physical: DataFrame,

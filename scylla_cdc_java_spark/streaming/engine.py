@@ -482,31 +482,13 @@ class Engine:
         )
 
     def _verify_preimages(self, slice_df, fold) -> int:
-        """Verify op-0 rows against state-before-change (replicator
-        preimage mode, Main.java:653-672) BEFORE applying the batch.
-        Target read is bucket-pruned to the partitions that actually
-        carry preimage rows (one column-pruned scan of the slice) —
-        the merge-on-read resolve then touches only those buckets, not
-        the whole table. Shared by replay() and _tail_step(): the
-        mode's verification guarantee must not silently vanish in live
-        tail."""
-        from ..model import OP_PREIMAGE
-        from ..operators.preimage import check_preimages
+        """Shared preimage verification (operators/preimage.py
+        ``verify_preimages``) — one implementation for replay(),
+        _tail_step() AND StructuredTail, so the mode's guarantee cannot
+        silently vanish on any consumption surface."""
+        from ..operators.preimage import verify_preimages
 
-        pre_buckets = [
-            r["b"]
-            for r in slice_df.where(F.col(COL_OP) == OP_PREIMAGE)
-            .select(self.sink._bucket_expr().alias("b"))
-            .distinct()
-            .collect()
-        ]
-        if not pre_buckets:
-            return 0
-        mism = check_preimages(
-            slice_df, self.sink.read_physical(pre_buckets),
-            self.table, range_tombs=fold.range_tombs,
-        )
-        return mism.count()
+        return verify_preimages(self.sink, self.table, slice_df, fold)
 
     # ------------------------------------------------------------------
     def replay(self, collect_group_metrics: bool = False) -> ReplayStats:

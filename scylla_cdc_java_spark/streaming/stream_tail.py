@@ -78,6 +78,9 @@ class StructuredTail:
             compact_threshold=self.cfg.compact_threshold,
         )
         self.batches_applied = 0
+        #: op-0 mismatches found so far (mode="preimage" only) — the
+        #: streaming twin of ReplayStats.preimage_mismatches
+        self.preimage_mismatches = 0
 
     # ------------------------------------------------------------------
     def _source(self):
@@ -115,10 +118,20 @@ class StructuredTail:
             {**p, "stream_id": bytes.fromhex(p["stream_id"])}
             for p in ckpt.get("pending_ends", [])
         ]
+        slice_df = normalize_log(batch_df)
         fold = fold_batch(
-            normalize_log(batch_df), self.table, pending, mode=self.cfg.mode,
+            slice_df, self.table, pending, mode=self.cfg.mode,
             pending_range_ends=pending_ends,
         )
+        if self.cfg.mode == "preimage":
+            # same verification replay()/tail() run (shared
+            # operators/preimage.verify_preimages): the mode's
+            # guarantee must not silently vanish on the Structured
+            # Streaming surface either
+            from ..operators.preimage import verify_preimages
+
+            self.preimage_mismatches += verify_preimages(
+                self.sink, self.table, slice_df, fold)
         # pending starts AND orphan ends ride the tombstone sidecar
         # write (kind 2/3); merge() fills both checkpoint keys itself —
         # two fewer Spark collect jobs per microbatch

@@ -109,3 +109,45 @@ def test_preimage_check_across_batches(spark, tmp_root):
     stats = eng.replay()
     assert stats.windows > 2
     assert stats.preimage_mismatches == 0
+
+
+def test_structured_tail_preimage_parity(spark, tmp_root):
+    """The Structured Streaming surface runs the SAME preimage
+    verification replay()/tail() do (shared verify_preimages): a
+    corrupted op-0 assertion is counted, a clean world counts zero —
+    the mode's guarantee holds on every consumption surface."""
+    from scylla_cdc_java_spark import StructuredTail
+
+    # clean control
+    world = with_images(generate_world(SPEC), preimage_fraction=0.6,
+                        postimage=False)
+    info = write_world(world, f"{tmp_root}/world_st_pre")
+    tail = StructuredTail(
+        spark, info["log_dir"], f"{tmp_root}/target_st_pre",
+        cfg=EngineConfig(mode="preimage"), max_files_per_trigger=4,
+    )
+    assert tail.run_available_now() >= 1
+    assert tail.preimage_mismatches == 0
+    oracle = [
+        {k: r[k] for k in ("repo", "path", "commit", "lang", "content")}
+        for r in _oracle_rows(world["events"])
+    ]
+    assert _engine_rows(tail.sink) == oracle
+
+    # corrupted assertions are detected and counted
+    bad = with_images(generate_world(SPEC), preimage_fraction=0.6,
+                      postimage=False)
+    ev = bad["events"]
+    corrupted = 0
+    for i in range(len(ev["op"])):
+        if ev["op"][i] == 0 and corrupted < 5:
+            ev["content"][i] = "WRONG-" + str(i)
+            corrupted += 1
+    assert corrupted == 5
+    info_bad = write_world(bad, f"{tmp_root}/world_st_pre_bad")
+    tail_bad = StructuredTail(
+        spark, info_bad["log_dir"], f"{tmp_root}/target_st_pre_bad",
+        cfg=EngineConfig(mode="preimage"),
+    )
+    tail_bad.run_available_now()
+    assert tail_bad.preimage_mismatches >= corrupted
