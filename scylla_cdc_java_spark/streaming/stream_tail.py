@@ -121,6 +121,7 @@ class StructuredTail:
         slice_df = normalize_log(batch_df)
         fold = fold_batch(
             slice_df, self.table, pending, mode=self.cfg.mode,
+            impl=self.cfg.extra.get("fold_impl", "sql"),
             pending_range_ends=pending_ends,
         )
         if self.cfg.mode == "preimage":

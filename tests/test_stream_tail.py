@@ -146,3 +146,22 @@ def test_stream_tail_resume_after_restart(spark, tmp_root):
                            stream_checkpoint_dir=tail.stream_checkpoint_dir)
     tail2.run_available_now()
     assert _state(tail2.sink) == state1
+
+
+def test_stream_tail_pandas_fold_matches_oracle(spark, tmp_root):
+    """StructuredTail honors the fold_impl override (engine parity):
+    the general applyInPandas fold path through the streaming surface
+    equals the oracle on an aggressive delete mix."""
+    spec = GenSpec(seed=505, n_events=1200, n_repos=15, paths_per_repo=6,
+                   n_generations=1, streams_per_generation=4,
+                   p_update=0.40, p_insert=0.10, p_row_delete=0.25,
+                   p_partition_delete=0.10, p_range_delete=0.10,
+                   dup_fraction=0.10)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/world_stream_pf")
+    tail = StructuredTail(
+        spark, info["log_dir"], f"{tmp_root}/target_stream_pf",
+        cfg=EngineConfig(extra={"fold_impl": "pandas"}),
+    )
+    assert tail.run_available_now() >= 1
+    assert _state(tail.sink) == final_state(replay(world["events"]))
