@@ -374,7 +374,15 @@ class ChangeFeedCursor:
             feed = changes_between(self.sink, pos, cur)
         return feed, {"version": cur}
 
-    def commit(self, token: dict) -> None:
+    def commit(self, token: dict, extra: dict | None = None) -> None:
+        """Advance the cursor to ``token``'s version. ``extra`` is an
+        optional consumer payload persisted ATOMICALLY with the
+        position in the same state file (readable back via
+        ``extra()``) — the commit point a consumer whose derived state
+        is NOT idempotent under redelivery needs (e.g. the additive
+        incremental aggregate: its delta list must move in lockstep
+        with the position, or a crash between two files double-counts
+        a span)."""
         if token.get("version") is None:
             return  # pre-first-commit poll: nothing to record
         new_v = int(token["version"])
@@ -397,11 +405,20 @@ class ChangeFeedCursor:
         self._write_lease(
             cursor_id,
             [v for v in (old_pos, new_v) if v is not None])
+        st_out = {"version": new_v, "id": cursor_id}
+        if extra is not None:
+            st_out["extra"] = extra
         tmp = self.state_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"version": new_v, "id": cursor_id}, f)
+            json.dump(st_out, f)
         os.replace(tmp, self.state_path)
         self._write_lease(cursor_id, [new_v])
+
+    def extra(self) -> dict | None:
+        """The ``extra`` payload recorded by the last commit (None
+        before the first commit or when none was passed)."""
+        st = self._state()
+        return None if st is None else st.get("extra")
 
 
 def _is_transient_read_race(e: BaseException) -> bool:

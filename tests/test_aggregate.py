@@ -1,0 +1,288 @@
+"""Feed-driven incremental aggregate — sinks/aggregate.py.
+
+The additive rollup maintained ONLY from the change feed must equal a
+direct GROUP BY over the table snapshot at every commit point, under
+inserts, updates (including group-moving ones), deletes, NULL groups
+and NULL metrics, crash-redelivery, folding, and compaction-only
+spans. The delta-list-in-cursor-extra design is exercised directly:
+an orphan delta file from a crashed sync is never read and is reaped
+once superseded."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_cdc_java_spark.model import (
+    OP_ROW_DELETE,
+    OP_ROW_INSERT,
+    OP_ROW_UPDATE,
+    TableConfig,
+)
+from scylla_cdc_java_spark.operators.fold import fold_batch, normalize_log
+from scylla_cdc_java_spark.sinks.aggregate import FeedAggregate
+from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+
+SID = b"\x0d" * 16
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+GROUPS = {"lang": "lang"}
+METRICS = {"bytes": "length(content)"}
+
+
+def _batch(spark, rows, columns=COLS):
+    data = [
+        (SID, {"ms": r["ms"], "seq": r["seq"]}, r["op"],
+         *[r.get(c) for c in columns])
+        for r in rows
+    ]
+    ddl = (
+        "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+        "`cdc$operation` tinyint, "
+        + ", ".join(f"`{c}` string" for c in columns)
+    )
+    return normalize_log(spark.createDataFrame(data, schema=ddl))
+
+
+def _direct(sink):
+    """The ground truth: the same rollup computed directly over the
+    current table snapshot."""
+    return {
+        r["lang"]: (r["rows"], r["bytes"])
+        for r in sink.read()
+        .groupBy(F.expr("lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.sum(F.expr("length(content)")).alias("bytes"))
+        .collect()
+    }
+
+
+def _got(agg):
+    return {r["lang"]: (r["rows"], r["bytes"]) for r in agg.read().collect()}
+
+
+def test_aggregate_tracks_table(spark, tmp_root):
+    """Sync-by-sync equality with a direct GROUP BY, through inserts,
+    a group-moving update, NULL metric values, a NULL group, and a
+    group drained to zero (which must vanish from the rollup)."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/agg_t", table,
+                            num_buckets=8)
+    agg = FeedAggregate(spark, f"{tmp_root}/agg_t_state",
+                        group_by=GROUPS, metrics=METRICS, fold_every=100)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0"}
+
+    # batch 1: bootstrap — three langs, one NULL-content row, one
+    # NULL-lang row
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "lang": "py", "content": "aaaa"},
+        {**ins, "ms": 10, "seq": 1, "repo": "o/r1", "path": "b.py",
+         "lang": "py", "content": "bb"},
+        {**ins, "ms": 10, "seq": 2, "repo": "o/r2", "path": "c.go",
+         "lang": "go", "content": "ccc"},
+        {**ins, "ms": 10, "seq": 3, "repo": "o/r2", "path": "d.rs",
+         "lang": "rs", "content": None},
+        {**ins, "ms": 10, "seq": 4, "repo": "o/r3", "path": "e",
+         "lang": None, "content": "e"},
+    ]), table), {"step": 1})
+    agg.sync(sink)
+    assert _got(agg) == _direct(sink)
+    assert _got(agg)["py"] == (2, 6)
+    assert _got(agg)["rs"] == (1, None)  # all-NULL metric stays NULL
+    assert _got(agg)[None] == (1, 1)
+
+    # batch 2: group-moving update (py -> go), value update within a
+    # group, a delete draining `rs` entirely, and a fresh insert
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "o/r1",
+         "path": "a.py", "lang": "go"},
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 1, "repo": "o/r2",
+         "path": "c.go", "content": "cccccc"},
+        {"op": OP_ROW_DELETE, "ms": 20, "seq": 2, "repo": "o/r2",
+         "path": "d.rs"},
+        {**ins, "ms": 20, "seq": 3, "repo": "o/r4", "path": "f.py",
+         "lang": "py", "content": "ff"},
+    ]), table), {"step": 2})
+    agg.sync(sink)
+    direct = _direct(sink)
+    assert _got(agg) == direct
+    assert "rs" not in direct  # drained group vanished
+    assert direct["go"] == (2, 10)  # moved row + grown content
+
+    # batch 3: delete everything left in `go`
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_DELETE, "ms": 30, "seq": 0, "repo": "o/r1",
+         "path": "a.py"},
+        {"op": OP_ROW_DELETE, "ms": 30, "seq": 1, "repo": "o/r2",
+         "path": "c.go"},
+    ]), table), {"step": 3})
+    agg.sync(sink)
+    direct = _direct(sink)
+    assert _got(agg) == direct
+    assert "go" not in direct
+
+    # caught-up sync: no new delta file, state unchanged
+    before = agg._committed()
+    agg.sync(sink)
+    assert agg._committed() == before
+    assert _got(agg) == _direct(sink)
+
+
+def test_crash_between_delta_write_and_commit(spark, tmp_root):
+    """A sync that dies after writing its delta file but before the
+    cursor commit must not double-count: the orphan delta is never
+    referenced, the recovering sync re-polls the superset span, and
+    the rollup equals the direct GROUP BY. The orphan is reaped once
+    superseded."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/agg_c", table,
+                            num_buckets=4)
+    agg = FeedAggregate(spark, f"{tmp_root}/agg_c_state",
+                        group_by=GROUPS, metrics=METRICS, fold_every=100)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "lang": "py", "content": "aaaa"},
+    ]), table), {"step": 1})
+    agg.sync(sink)
+
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 20, "seq": 0, "repo": "o/r2", "path": "b.py",
+         "lang": "py", "content": "bb"},
+    ]), table), {"step": 2})
+
+    # crash simulation: the commit raises AFTER the delta file landed
+    from scylla_cdc_java_spark.sinks import changefeed as cf
+
+    real_commit = cf.ChangeFeedCursor.commit
+
+    def boom(self, token, extra=None):
+        raise RuntimeError("crash before commit")
+
+    cf.ChangeFeedCursor.commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash before commit"):
+            agg.sync(sink)
+    finally:
+        cf.ChangeFeedCursor.commit = real_commit
+
+    orphan_v = sink.snapshots()[-1]
+    assert os.path.exists(agg._delta_path(orphan_v))
+    assert orphan_v not in agg._committed()["deltas"]
+    # the orphan is invisible: the rollup still reflects sync #1 only
+    assert _got(agg)["py"] == (1, 4)
+
+    # a third batch makes the recovery span a STRICT superset of the
+    # crashed one — the strongest double-count trap
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 30, "seq": 0, "repo": "o/r3", "path": "c.py",
+         "lang": "py", "content": "ccc"},
+    ]), table), {"step": 3})
+    agg.sync(sink)
+    assert _got(agg) == _direct(sink)
+    assert _got(agg)["py"] == (3, 9)
+    # superseded orphan reaped by the post-commit GC
+    assert not os.path.exists(agg._delta_path(orphan_v))
+
+
+def test_fold_and_gc(spark, tmp_root):
+    """Every fold_every syncs the deltas fold into a versioned base:
+    the answer is unchanged, the delta list resets, and superseded
+    files are reaped."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/agg_f", table,
+                            num_buckets=4)
+    agg = FeedAggregate(spark, f"{tmp_root}/agg_f_state",
+                        group_by=GROUPS, metrics=METRICS, fold_every=2)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0"}
+    for i in range(4):
+        sink.merge(fold_batch(_batch(spark, [
+            {**ins, "ms": 10 * (i + 1), "seq": 0, "repo": f"o/r{i}",
+             "path": "a.py", "lang": "py", "content": "x" * (i + 1)},
+        ]), table), {"step": i + 1})
+        agg.sync(sink)
+        assert _got(agg) == _direct(sink)
+
+    st = agg._committed()
+    assert st["base"] is not None and st["deltas"] == []
+    assert os.path.isdir(agg._base_path(st["base"]))
+    # exactly one base survives, zero deltas — everything else reaped
+    assert os.listdir(os.path.join(agg.path, "base")) == [
+        f"v{st['base']}"]
+    deltas_dir = os.path.join(agg.path, "deltas")
+    assert not os.path.isdir(deltas_dir) or os.listdir(deltas_dir) == []
+    assert _got(agg)["py"] == (4, 1 + 2 + 3 + 4)
+
+
+def test_compaction_only_span_is_neutral(spark, tmp_root):
+    """A span covering only a compaction commit diffs to an empty
+    feed; the sync commits the position with an empty delta and the
+    rollup is unchanged."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/agg_n", table,
+                            num_buckets=4)
+    agg = FeedAggregate(spark, f"{tmp_root}/agg_n_state",
+                        group_by=GROUPS, metrics=METRICS)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "lang": "py", "content": "aa"},
+    ]), table), {"step": 1})
+    # second segment in the same bucket's partition key so compaction
+    # actually has something to collapse (single-segment is a no-op)
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "o/r1",
+         "path": "a.py", "content": "aa"},
+    ]), table), {"step": 2})
+    agg.sync(sink)
+    sink.compact()
+    assert sink.manifest()["version"] > agg.position()
+    agg.sync(sink)
+    assert agg.position() == sink.snapshots()[-1]
+    assert _got(agg) == _direct(sink) == {"py": (1, 2)}
+
+
+def test_reserved_and_conflicting_names_raise(spark, tmp_root):
+    with pytest.raises(ValueError, match="reserved"):
+        FeedAggregate(spark, f"{tmp_root}/agg_x", group_by={"rows": "lang"})
+    with pytest.raises(ValueError, match="both group and metric"):
+        FeedAggregate(spark, f"{tmp_root}/agg_y",
+                      group_by={"lang": "lang"},
+                      metrics={"lang": "length(lang)"})
+    with pytest.raises(FileNotFoundError, match="run sync"):
+        FeedAggregate(spark, f"{tmp_root}/agg_z",
+                      group_by=GROUPS, metrics=METRICS).read()
+
+
+def test_engine_replay_matches_direct_groupby(spark, tmp_root):
+    """End-to-end over the real engine: replay a generated world
+    window-by-window with the aggregate synced after EVERY window
+    (the deployment cadence), folding en route; the final rollup
+    equals a direct GROUP BY over the final table."""
+    from scylla_cdc_java_spark import (
+        Engine, EngineConfig, GenSpec, generate_world, write_world,
+    )
+
+    spec = GenSpec(seed=31, n_events=900, n_repos=20, paths_per_repo=5,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=300_000)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/agg_e_world")
+    target = f"{tmp_root}/agg_e_target"
+    eng = Engine(spark, info["log_dir"], info["generations_path"], target,
+                 cfg=EngineConfig(window_length_limit_ms=30_000))
+    agg = FeedAggregate(spark, f"{tmp_root}/agg_e_state",
+                        group_by=GROUPS, metrics=METRICS, fold_every=3)
+    real_merge = eng.sink.merge
+
+    def merge_and_sync(*a, **kw):
+        stats = real_merge(*a, **kw)
+        agg.sync(eng.sink)
+        return stats
+
+    eng.sink.merge = merge_and_sync
+    eng.replay()
+    eng.sink.merge = real_merge
+    agg.sync(eng.sink)
+    assert _got(agg) == _direct(eng.sink)
