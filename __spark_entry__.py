@@ -960,6 +960,69 @@ def q_changefeed(spark, sf_dir):
     return _digest_agg(feed, line)
 
 
+def _entry_agg_spec():
+    """World for the feed-aggregate contract entry (own world/target:
+    a cold replay with a sync after every window, not a catch-up over
+    another entry's warm cache)."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=59, n_events=3000,
+                               ttl_fraction=0.0)
+
+
+def q_aggregate_incremental(spark, sf_dir):
+    """Feed-driven incremental aggregate (sinks/aggregate.py): replay
+    a deterministic world window-by-window with a lang-keyed rollup
+    (row count + content byte sum) synced from the CHANGE FEED after
+    EVERY window — each sync writes one O(touched groups) delta file,
+    the live delta list committed atomically with the cursor position,
+    folding into a versioned base en route — then digest the final
+    rollup. The oracle inlines the pure-Python golden's rollup
+    computed in ONE shot over the independent oracle's final state, so
+    a hash match proves N windows of additive delta maintenance == a
+    direct GROUP BY == the independent Python implementation."""
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import (
+        FIELD_SEP,
+        NULL_SENTINEL,
+    )
+    from scylla_cdc_java_spark.sinks.aggregate import FeedAggregate
+
+    spec = _entry_agg_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    target = os.path.join(
+        base, f"target_agg_{spec.cache_key()}_{ENTRY_TARGET_VERSION}")
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"], target,
+        cfg=EngineConfig(window_length_limit_ms=30_000),
+    )
+    agg = FeedAggregate(spark, target + "_rollup",
+                        group_by={"lang": "lang"},
+                        metrics={"bytes": "length(content)"},
+                        fold_every=4)
+    real_merge = eng.sink.merge
+
+    def merge_and_sync(*a, **kw):
+        stats = real_merge(*a, **kw)
+        agg.sync(eng.sink)
+        return stats
+
+    eng.sink.merge = merge_and_sync
+    eng.replay()
+    eng.sink.merge = real_merge
+    # warm-cache runs skip replay entirely (done checkpoint): one
+    # catch-up sync covers them; on cold runs it is a fingerprint no-op
+    agg.sync(eng.sink)
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.coalesce(F.col("lang"), F.lit(NULL_SENTINEL)),
+        F.col("rows").cast("string"),
+        F.coalesce(F.col("bytes").cast("string"), F.lit(NULL_SENTINEL)),
+    )
+    return _digest_agg(agg.read(), line)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -999,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_incremental": q_ivf_incremental,
         "simhash_incremental": q_simhash_incremental,
         "changefeed": q_changefeed,
+        "aggregate_incremental": q_aggregate_incremental,
     }
 
 
@@ -1149,6 +1213,12 @@ def _golden_oracles() -> dict[str, str]:
             f"select cast({nc} as bigint) as n_rows, "
             f"cast({cfsum} as bigint) as state_sum, "
             f"cast({cfxor} as bigint) as state_xor"
+        )
+        na, asum, axor = G.golden_feed_aggregate_digest(_entry_agg_spec())
+        out["aggregate_incremental"] = (
+            f"select cast({na} as bigint) as n_rows, "
+            f"cast({asum} as bigint) as state_sum, "
+            f"cast({axor} as bigint) as state_xor"
         )
         out["multimodal_resize"] = _values_sql(
             G.golden_resize(sf),

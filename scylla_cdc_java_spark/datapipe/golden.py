@@ -679,3 +679,39 @@ def golden_dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5
         for m in ms:
             out.append((m, lo, m == lo))
     return sorted(out)
+
+
+def golden_feed_aggregate_digest(spec, table=None) -> tuple[int, int, int]:
+    """(n_groups, state_sum, state_xor) over the rollup a feed-driven
+    ``FeedAggregate(group_by={"lang": "lang"}, metrics={"bytes":
+    "length(content)"})`` must hold after the CDC world `spec` has
+    fully replayed: the independent Python oracle's final state,
+    grouped by ``lang`` (NULL group kept) with a row count and a
+    null-skipping byte sum (all-NULL group sum stays NULL, matching
+    SQL SUM). Because the golden is one shot over the FINAL state, a
+    hash match proves N windows of delta-file maintenance == a direct
+    GROUP BY == the independent Python implementation — the contract's
+    ``aggregate_incremental`` gate."""
+    from ..generator import generate_world
+    from ..model import DEFAULT_TABLE
+    from ..oracle import final_state, replay
+
+    table = table or DEFAULT_TABLE
+    rows = final_state(replay(generate_world(spec)["events"], table=table))
+    agg: dict = {}
+    for r in rows:
+        lang = r.get("lang")
+        c = r.get("content")
+        n, b = agg.get(lang, (0, None))
+        if c is not None:
+            b = (b or 0) + len(c)
+        agg[lang] = (n + 1, b)
+    lines = [
+        FIELD_SEP.join([
+            lang if lang is not None else NULL_SENTINEL,
+            str(n),
+            str(b) if b is not None else NULL_SENTINEL,
+        ])
+        for lang, (n, b) in agg.items()
+    ]
+    return (len(lines), *digest_lines(lines))
