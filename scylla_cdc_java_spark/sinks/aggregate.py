@@ -227,10 +227,26 @@ class FeedAggregate:
         t0 = _time.time()
         cur = ChangeFeedCursor(sink, self._cursor_path,
                                lease_ttl_s=self.lease_ttl_s)
+        pos = cur.position()
         feed, tok = cur.poll()
         if feed is None:
-            return {"version": tok["version"], "folded": False,
-                    "delta_groups": 0, "sync_s": _time.time() - t0}
+            return {"version": tok["version"],
+                    "table_version": tok["version"],
+                    "changed": [], "removed": [], "folded": False,
+                    "sync_s": _time.time() - t0}
+        # the span's changed-bucket set (driver-side metadata only) —
+        # reported for touch-scoping observability and to share the
+        # maintainer-tool interface with the incremental indexes; the
+        # feed itself prunes to these buckets internally
+        from .changefeed import changed_buckets
+
+        if pos is None:
+            changed = sorted(
+                int(b)
+                for b in sink._load_root(tok["version"])["bucket_index"]
+            )
+        else:
+            changed = changed_buckets(sink, pos, tok["version"])
         state = self._committed()
         delta = self._span_delta(feed)
         dpath = self._delta_path(tok["version"])
@@ -255,8 +271,10 @@ class FeedAggregate:
             folded = True
         cur.commit(tok, extra=new_state)
         self._gc(new_state, tok["version"])
-        return {"version": tok["version"], "folded": folded,
-                "delta_groups": None, "sync_s": _time.time() - t0}
+        return {"version": tok["version"],
+                "table_version": tok["version"],
+                "changed": changed, "removed": [], "folded": folded,
+                "sync_s": _time.time() - t0}
 
     def _save_schema(self, schema) -> None:
         atomic_write_json(self._schema_path, {"ddl": schema.json()})

@@ -286,3 +286,110 @@ def test_engine_replay_matches_direct_groupby(spark, tmp_root):
     eng.sink.merge = real_merge
     agg.sync(eng.sink)
     assert _got(agg) == _direct(eng.sink)
+
+
+def test_external_aggregate_maintainer_during_replay(spark, tmp_root):
+    """The deployment shape: ``tools/index_maintainer.py --kind
+    aggregate`` in a SEPARATE OS process keeps the feed-driven rollup
+    in lockstep while the engine replays a multi-window world (with
+    the writer's piggyback compaction racing it). Zero coordination —
+    the cursor's snapshot leases protect its resume point, a sync
+    racing a commit is caught up by the next poll. Determinism uses
+    the same watermark clock gate as the incremental-index maintainer
+    test: the writer is HELD mid-log until the maintainer's out-file
+    proves a live data-bearing sync, then released."""
+    import json
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    from scylla_cdc_java_spark import (
+        Engine, EngineConfig, GenSpec, generate_world, write_world,
+    )
+
+    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = GenSpec(seed=37, n_events=2500, n_repos=25, paths_per_repo=8,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=300_000, p_range_delete=0.05)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/am_world")
+    target = f"{tmp_root}/am_target"
+    state_dir = f"{tmp_root}/am_rollup"
+    out = f"{tmp_root}/am_maintainer.jsonl"
+    t0 = spec.gen0_start_ms
+    gate = {"ms": t0 + 150_000}
+
+    def read_rounds():
+        if not os.path.exists(out):
+            return []
+        with open(out) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    proc = subprocess.Popen(
+        [sys.executable,
+         os.path.join(REPO_ROOT, "tools", "index_maintainer.py"),
+         target, state_dir, "--kind", "aggregate", "--interval", "0.3",
+         "--until-done", "--max-rounds", "400", "--cores", "2",
+         "--out", out],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        eng = Engine(
+            spark, info["log_dir"], info["generations_path"], target,
+            clock=lambda: gate["ms"],
+            cfg=EngineConfig(window_length_limit_ms=20_000,
+                             compact_threshold=8, sleep_scale=0.01),
+        )
+        res: dict = {}
+
+        def run_replay():
+            try:
+                res["stats"] = eng.replay()
+            except BaseException as exc:
+                res["exc"] = exc
+
+        th = threading.Thread(target=run_replay, daemon=True)
+        th.start()
+        deadline = time.time() + 240
+        saw_live = False
+        while time.time() < deadline and proc.poll() is None:
+            if any(r.get("changed") and not r.get("writer_done")
+                   for r in read_rounds()):
+                saw_live = True
+                break
+            time.sleep(0.2)
+        gate["ms"] = t0 + 2 * spec.gen_span_ms + 100_000
+        th.join(timeout=300)
+        assert not th.is_alive(), "replay did not finish after release"
+        if "exc" in res:
+            raise res["exc"]
+        assert saw_live, read_rounds()
+        assert res["stats"].windows >= 10, res["stats"].windows
+        proc.wait(timeout=300)
+    finally:
+        gate["ms"] = t0 + 2 * spec.gen_span_ms + 100_000
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    assert proc.returncode == 0
+
+    rounds = read_rounds()
+    assert rounds and rounds[-1]["writer_done"]
+    assert rounds[-1]["changed"] == 0 and rounds[-1]["removed"] == 0
+    # tracked a MOVING table: a data-bearing sync landed while the
+    # writer was provably live, and a later version was synced after
+    live = [r for r in rounds
+            if r.get("changed") and not r.get("writer_done")]
+    assert live, [(r.get("changed"), r.get("writer_done"))
+                  for r in rounds]
+    versions = {r["table_version"] for r in rounds if r.get("changed")}
+    assert len(versions) >= 2, rounds
+
+    # the externally-maintained rollup equals a direct GROUP BY over
+    # the final table; an in-process catch-up sync is a no-op
+    agg = FeedAggregate(spark, state_dir, group_by=GROUPS,
+                        metrics=METRICS)
+    s = agg.sync(eng.sink)
+    assert s["changed"] == [] and s["removed"] == []
+    assert _got(agg) == _direct(eng.sink)

@@ -17,7 +17,7 @@ catch-up exact, never quadratic.
 
 Usage:
     python tools/index_maintainer.py TARGET INDEX_DIR
-        [--kind minhash|simhash|ivf] [--interval 1] [--once]
+        [--kind minhash|simhash|ivf|aggregate] [--interval 1] [--once]
         [--until-done] [--expect-shards 1] [--done-quiet 2]
         [--max-rounds N] [--cores 2] [--text-col content]
         [--out maintainer.jsonl]
@@ -51,11 +51,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from daemon_util import wait_for_manifest, writer_done  # noqa: E402
 
-KINDS = ("minhash", "simhash", "ivf")
+KINDS = ("minhash", "simhash", "ivf", "aggregate")
 EXIT_STALE_POSSIBLE = 3
 
 
-def _make_index(kind: str, spark, index_dir: str, text_col: str):
+def _make_index(kind: str, spark, index_dir: str, text_col: str,
+                group_col: str):
+    if kind == "aggregate":
+        # the feed-driven rollup consumer (sinks/aggregate.py): same
+        # zero-coordination deployment, but it consumes the CHANGE FEED
+        # through a cursor (leased snapshots) instead of rescanning
+        # changed buckets — its sync() shares the changed/removed/
+        # table_version stats shape, so the loop below is unchanged
+        from scylla_cdc_java_spark.sinks.aggregate import FeedAggregate
+
+        return FeedAggregate(
+            spark, index_dir,
+            group_by={group_col: group_col},
+            metrics={"bytes": f"length({text_col})"},
+        )
     from scylla_cdc_java_spark.datapipe.incremental import (
         IncrementalIVFIndex,
         IncrementalMinHashIndex,
@@ -81,6 +95,8 @@ def main() -> int:
     ap.add_argument("--max-rounds", type=int, default=0)
     ap.add_argument("--cores", type=int, default=2)
     ap.add_argument("--text-col", default="content")
+    ap.add_argument("--group-col", default="lang",
+                    help="group column for --kind aggregate")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -92,7 +108,8 @@ def main() -> int:
     spark = get_spark(master=f"local[{args.cores}]",
                       shuffle_partitions=args.cores)
     sink = ParquetMergeSink.for_existing(spark, args.target)
-    idx = _make_index(args.kind, spark, args.index_dir, args.text_col)
+    idx = _make_index(args.kind, spark, args.index_dir,
+                      args.text_col, args.group_col)
     log = open(args.out, "a") if args.out else None
     rounds = 0
     quiet_done_streak = 0
