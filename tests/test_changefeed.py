@@ -889,9 +889,9 @@ def test_mirror_follows_rollback_as_forward_diff(spark, tmp_root):
     from scylla_cdc_java_spark.sinks.changefeed import ParquetMirror
 
     table = TableConfig()
-    sink = ParquetMergeSink(spark, f"{tmp_root}/rb_target", table,
+    sink = ParquetMergeSink(spark, f"{tmp_root}/cfrb_target", table,
                             num_buckets=8)
-    mirror = ParquetMirror(spark, f"{tmp_root}/rb_mirror")
+    mirror = ParquetMirror(spark, f"{tmp_root}/cfrb_mirror")
     ins = {"op": OP_ROW_INSERT, "commit": "c0", "lang": "py"}
 
     sink.merge(fold_batch(_batch(spark, [
