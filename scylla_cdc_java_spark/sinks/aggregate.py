@@ -107,6 +107,28 @@ class FeedAggregate:
         self.lease_ttl_s = lease_ttl_s
         self.fold_every = int(fold_every)
         os.makedirs(path, exist_ok=True)
+        self._check_spec()
+
+    def _check_spec(self) -> None:
+        """Pin the (group_by, metrics) spec to the state path on first
+        use and REFUSE a mismatching spec afterwards: delta files are
+        partial sums under one spec — mixing two specs' deltas in one
+        state dir would silently produce garbage, and a changed spec
+        invalidates every stored partial (rebuild under a new path, or
+        delete the state dir to re-bootstrap)."""
+        spec = {"group_by": self.group_by, "metrics": self.metrics}
+        spec_path = os.path.join(self.path, "_spec.json")
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                stored = json.load(f)
+            if stored != spec:
+                raise ValueError(
+                    f"aggregate spec mismatch at {self.path}: stored "
+                    f"{stored}, requested {spec}; deltas are partial "
+                    "sums under one spec — use a new state path (or "
+                    "delete this one to re-bootstrap)")
+            return
+        atomic_write_json(spec_path, spec)
 
     # -- layout ------------------------------------------------------
     @property

@@ -382,7 +382,8 @@ class ChangeFeedCursor:
         is NOT idempotent under redelivery needs (e.g. the additive
         incremental aggregate: its delta list must move in lockstep
         with the position, or a crash between two files double-counts
-        a span)."""
+        a span). A commit WITHOUT ``extra`` preserves the previously
+        recorded payload — extra persists until replaced."""
         if token.get("version") is None:
             return  # pre-first-commit poll: nothing to record
         new_v = int(token["version"])
@@ -408,6 +409,12 @@ class ChangeFeedCursor:
         st_out = {"version": new_v, "id": cursor_id}
         if extra is not None:
             st_out["extra"] = extra
+        elif st and "extra" in st:
+            # extra persists until replaced: a consumer that commits a
+            # position-only token (e.g. a caught-up confirmation) must
+            # not silently drop the derived-state record a previous
+            # commit anchored to the position
+            st_out["extra"] = st["extra"]
         tmp = self.state_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(st_out, f)

@@ -393,3 +393,47 @@ def test_external_aggregate_maintainer_during_replay(spark, tmp_root):
     s = agg.sync(eng.sink)
     assert s["changed"] == [] and s["removed"] == []
     assert _got(agg) == _direct(eng.sink)
+
+
+def test_spec_pinning_and_extra_persistence(spark, tmp_root):
+    """(a) The (group_by, metrics) spec is pinned to the state path —
+    a mismatching spec must be refused loudly, since its delta files
+    would be partials under a different algebra; (b) a cursor commit
+    WITHOUT extra preserves the previously recorded payload, so a
+    position-only confirmation can never silently orphan the delta
+    list the position anchors."""
+    from scylla_cdc_java_spark.sinks.changefeed import ChangeFeedCursor
+
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/agg_s", table,
+                            num_buckets=4)
+    path = f"{tmp_root}/agg_s_state"
+    agg = FeedAggregate(spark, path, group_by=GROUPS, metrics=METRICS)
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_INSERT, "commit": "c0", "ms": 10, "seq": 0,
+         "repo": "o/r1", "path": "a.py", "lang": "py", "content": "aa"},
+    ]), table), {"step": 1})
+    agg.sync(sink)
+
+    # same spec: reopens fine
+    FeedAggregate(spark, path, group_by=GROUPS, metrics=METRICS)
+    # different group set / metric expression: refused
+    with pytest.raises(ValueError, match="spec mismatch"):
+        FeedAggregate(spark, path, group_by={"repo": "repo"},
+                      metrics=METRICS)
+    with pytest.raises(ValueError, match="spec mismatch"):
+        FeedAggregate(spark, path, group_by=GROUPS,
+                      metrics={"bytes": "length(commit)"})
+
+    # extra persists across a position-only commit
+    cur = ChangeFeedCursor(sink, agg._cursor_path)
+    before = cur.extra()
+    assert before is not None and before["deltas"]
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_INSERT, "commit": "c0", "ms": 20, "seq": 0,
+         "repo": "o/r2", "path": "b.py", "lang": "py", "content": "b"},
+    ]), table), {"step": 2})
+    feed, tok = cur.poll()
+    assert feed is not None
+    cur.commit(tok)  # position-only: no extra argument
+    assert cur.extra() == before
