@@ -1,4 +1,4 @@
-"""The full deployment, FOUR OS processes, zero coordination — the
+"""The full deployment, FIVE OS processes, zero coordination — the
 complete round trip the engine supports, all at once:
 
     writer     Engine.replay: CDC log -> fold -> merge sink (CDC in)
@@ -9,6 +9,10 @@ complete round trip the engine supports, all at once:
                lockstep with the moving table (derived state)
     mirror     tools/mirror_consumer.py: change-feed consumer
                materializing a downstream mirror (CDC out)
+    rollup     tools/index_maintainer.py --kind aggregate: the
+               NON-idempotent feed consumer (delta-list-in-cursor
+               commits) maintaining a GROUP-BY rollup (derived state
+               over CDC out)
 
 No process knows any other exists. The maintainer's and mirror's bucket
 reads survive the vacuum via cross-process read leases (file level);
@@ -20,8 +24,8 @@ mirror's resume snapshot out from under it mid-campaign
 failure with leases disabled).
 
 Final assertions: every daemon exits 0 at its fixpoint, the table is
-oracle-exact, the mirror equals the table, and the index equals a full
-recompute."""
+oracle-exact, the mirror equals the table, the index equals a full
+recompute, and the rollup equals a direct GROUP BY."""
 
 import json
 import os
@@ -46,7 +50,8 @@ def _rows(df):
     )
 
 
-def test_writer_compactor_maintainer_and_mirror_quad(spark, tmp_root):
+def test_writer_compactor_maintainer_mirror_and_rollup_quint(
+        spark, tmp_root):
     spec = GenSpec(seed=36, n_events=2500, n_repos=25, paths_per_repo=8,
                    n_generations=2, streams_per_generation=4,
                    gen_span_ms=300_000, p_range_delete=0.05)
@@ -55,9 +60,11 @@ def test_writer_compactor_maintainer_and_mirror_quad(spark, tmp_root):
     target = f"{tmp_root}/quad_target"
     index_dir = f"{tmp_root}/quad_index"
     mirror_dir = f"{tmp_root}/quad_mirror"
+    rollup_dir = f"{tmp_root}/quad_rollup"
     c_out = f"{tmp_root}/quad_compactor.jsonl"
     m_out = f"{tmp_root}/quad_maintainer.jsonl"
     r_out = f"{tmp_root}/quad_mirror.jsonl"
+    a_out = f"{tmp_root}/quad_rollup.jsonl"
 
     argv = {
         "compactor": [
@@ -79,6 +86,11 @@ def test_writer_compactor_maintainer_and_mirror_quad(spark, tmp_root):
             os.path.join(REPO_ROOT, "tools", "mirror_consumer.py"),
             target, mirror_dir, "--interval", "0.3", "--until-done",
             "--max-rounds", "400", "--cores", "2", "--out", r_out],
+        "rollup": [
+            os.path.join(REPO_ROOT, "tools", "index_maintainer.py"),
+            target, rollup_dir, "--kind", "aggregate",
+            "--interval", "0.3", "--until-done", "--max-rounds", "400",
+            "--cores", "2", "--out", a_out],
     }
     errs = {name: open(f"{tmp_root}/quad_{name}.err", "w")
             for name in argv}
@@ -153,3 +165,27 @@ def test_writer_compactor_maintainer_and_mirror_quad(spark, tmp_root):
     idx = IncrementalMinHashIndex(spark, index_dir, text_col="content")
     assert _collect_sigs(_inc_view(idx)) == _collect_sigs(
         _full_recompute(eng.sink))
+
+    # the rollup (non-idempotent feed consumer, its resume snapshot
+    # protected across retain-snapshots-1 vacuums by the cursor lease)
+    # equals a direct GROUP BY over the final table
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.sinks.aggregate import FeedAggregate
+
+    a_rounds = _jsonl(a_out)
+    assert any(r.get("changed", 0) > 0 and not r.get("writer_done")
+               for r in a_rounds), a_rounds
+    agg = FeedAggregate(spark, rollup_dir, group_by={"lang": "lang"},
+                        metrics={"bytes": "length(content)"})
+    got_roll = {r["lang"]: (r["rows"], r["bytes"])
+                for r in agg.read().collect()}
+    want_roll = {
+        r["lang"]: (r["rows"], r["bytes"])
+        for r in eng.sink.read()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.sum(F.expr("length(content)")).alias("bytes"))
+        .collect()
+    }
+    assert got_roll == want_roll

@@ -184,6 +184,58 @@ def main() -> None:
         assert cnt_m == cnt_s, (cnt_m, cnt_s)
         report["mirror_rows"] = cnt_m
         report["mirror_equals_source_count"] = True
+
+        # ---- 6. feed-driven aggregate: tail sync vs full GROUP BY ----
+        # The honest control for "keep a rollup current" is recomputing
+        # the GROUP BY over the WHOLE table each window — O(table) —
+        # vs the aggregate's sync — O(touched buckets) + fixed per-job
+        # overhead. At small table sizes the fixed overhead dominates
+        # and the control can win; the two costs diverge with table
+        # size (same two-point trend as INCR_r5's index syncs), which
+        # is why both modes of this probe record both numbers.
+        from scylla_cdc_java_spark.sinks.aggregate import FeedAggregate
+
+        agg = FeedAggregate(spark, os.path.join(work, "rollup"),
+                            group_by={"lang": "lang"},
+                            metrics={"bytes": "length(content)"})
+        t0 = time.time()
+        agg.sync(eng.sink)  # bootstrap: one-off O(table)
+        report["aggregate_bootstrap_s"] = round(time.time() - t0, 2)
+        agg_tails = []
+        for w in range(2):
+            tw = generate_world(GenSpec(
+                seed=2200 + w, n_events=1500, n_repos=TAIL_REPOS,
+                n_orgs=1, paths_per_repo=8, n_generations=1,
+                streams_per_generation=4, gen_span_ms=60_000,
+                content_min=64, content_max=256,
+            ))
+            tinfo = write_world(tw, os.path.join(work, f"tail_agg{w}"))
+            log = normalize_log(spark.read.parquet(tinfo["log_dir"]))
+            eng.sink.merge(fold_batch(log, eng.table),
+                           eng.sink.checkpoint())
+            t0 = time.time()
+            s = agg.sync(eng.sink)
+            sync_s = time.time() - t0
+            t0 = time.time()
+            full = {
+                r["lang"]: (r["rows"], r["bytes"])
+                for r in eng.sink.read()
+                .groupBy(F.col("lang"))
+                .agg(F.count(F.lit(1)).alias("rows"),
+                     F.sum(F.expr("length(content)")).alias("bytes"))
+                .collect()
+            }
+            full_s = time.time() - t0
+            got = {r["lang"]: (r["rows"], r["bytes"])
+                   for r in agg.read().collect()}
+            assert got == full, (len(got), len(full))
+            agg_tails.append({
+                "sync_s": round(sync_s, 2),
+                "full_groupby_s": round(full_s, 2),
+                "changed_buckets": len(s["changed"]),
+            })
+        report["aggregate_tails"] = agg_tails
+        report["aggregate_equals_direct_groupby"] = True
         report["steal_s_total"] = round(_steal_s() - s0, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
