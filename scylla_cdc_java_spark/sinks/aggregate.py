@@ -195,7 +195,10 @@ class FeedAggregate:
     def _resolve(self, state: dict) -> DataFrame:
         """Fold a committed state (base + live deltas) into the
         current aggregate: re-sum the partials, drop net-empty
-        groups."""
+        groups. Every summed column is cast back to its pinned delta
+        type — SUM widens some types (decimal precision), and a fold
+        that persisted the widened type would make the base unreadable
+        under the pinned schema on the next resolve."""
         schema = self._out_schema()
         parts = self._parts(state)
         if not parts:
@@ -203,11 +206,18 @@ class FeedAggregate:
                 raise FileNotFoundError(
                     f"no aggregate state at {self.path}; run sync() first")
             return self.spark.createDataFrame([], schema=schema)
+        if schema is None:
+            raise FileNotFoundError(
+                f"aggregate state at {self.path} has delta/base files "
+                "but no _schema.json (registry lost or partially "
+                "restored); delete the state dir to re-bootstrap")
+        types = {f.name: f.dataType for f in schema.fields}
         df = self.spark.read.schema(schema).parquet(*parts)
         return (
             df.groupBy(*self.group_by)
             .agg(F.sum(ROWS_COL).cast("long").alias(ROWS_COL),
-                 *[F.sum(n).alias(n) for n in self.metrics])
+                 *[F.sum(n).cast(types[n]).alias(n)
+                   for n in self.metrics])
             .where(F.col(ROWS_COL) != 0)
         )
 
@@ -223,25 +233,12 @@ class FeedAggregate:
         its delta file, commit position + delta list atomically, fold
         when due, then reap superseded/orphaned files. Retry posture
         mirrors ``ParquetMirror.sync`` — the cursor commits last, so
-        a vacuumed-head race anywhere before it is safely retried."""
-        from .changefeed import _is_transient_read_race
+        a vacuumed-head race anywhere before it is safely retried
+        (shared classifier — ``changefeed.retry_transient_reads``)."""
+        from .changefeed import retry_transient_reads
 
-        last_err = None
-        for _ in range(6):
-            try:
-                return self._sync_once(sink)
-            except FileNotFoundError as e:
-                gone = getattr(e, "snapshot_version", None)
-                if gone is not None and gone == self.position():
-                    raise  # resume snapshot vacuumed: retention lapse
-                if gone is None and not _is_transient_read_race(e):
-                    raise
-                last_err = e
-            except Exception as e:  # JVM-side file-vanished twins
-                if not _is_transient_read_race(e):
-                    raise
-                last_err = e
-        raise last_err
+        return retry_transient_reads(
+            lambda: self._sync_once(sink), self.position)
 
     def _sync_once(self, sink) -> dict:
         import time as _time
@@ -274,14 +271,34 @@ class FeedAggregate:
         dpath = self._delta_path(tok["version"])
         # overwrite: a crashed earlier attempt at this same head left
         # an orphan here; it was never committed, so replacing it is
-        # the recovery
-        delta.write.mode("overwrite").parquet(dpath)
+        # the recovery. The Observation rides the write job so a
+        # zero-group span is detected without a second action.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            delta.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite").parquet(dpath)
+        )
         # persist the output schema before the commit (needed to read
         # empty states and to union files without footer scans); a
         # crash in between leaves a newer schema file with the old
         # state, which the redelivered span re-confirms — the schema
         # is a function of the (group_by, metrics) spec, not the data
         self._save_schema(delta.schema)
+        if int(obs.get["n"]) == 0:
+            # value-neutral span (compaction/vacuum-only commits):
+            # advance the position but do NOT append the empty delta —
+            # an idle-but-compacting table must not creep toward a
+            # pointless full-base fold every fold_every such spans.
+            # The empty file is unreferenced and <= the committed
+            # position, so the GC below reaps it.
+            cur.commit(tok, extra=state)
+            self._gc(state, tok["version"])
+            return {"version": tok["version"],
+                    "table_version": tok["version"],
+                    "changed": changed, "removed": [], "folded": False,
+                    "sync_s": _time.time() - t0}
         new_state = {"base": state["base"],
                      "deltas": state["deltas"] + [tok["version"]]}
         folded = False

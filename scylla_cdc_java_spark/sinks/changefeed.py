@@ -54,7 +54,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from .bucket_index import entry_fingerprint
+from .bucket_index import atomic_write_json, entry_fingerprint
 
 #: change classification column, Delta-CDF style
 CHANGE_TYPE_COL = "_change_type"
@@ -321,18 +321,7 @@ class ChangeFeedCursor:
         committed, so a retry is always safe. Only the cursor's own
         COMMITTED snapshot going missing is a real retention lapse,
         and that stays a loud error."""
-        last_err = None
-        for _ in range(6):
-            try:
-                return self._poll_once()
-            except FileNotFoundError as e:
-                gone = getattr(e, "snapshot_version", None)
-                if gone is not None and gone == self.position():
-                    raise  # resume snapshot vacuumed: retention lapse
-                if gone is None and not _is_transient_read_race(e):
-                    raise
-                last_err = e  # vacuumed head: list again and re-plan
-        raise last_err
+        return retry_transient_reads(self._poll_once, self.position)
 
     def _poll_once(self):
         snaps = self.sink.snapshots()
@@ -426,6 +415,34 @@ class ChangeFeedCursor:
         before the first commit or when none was passed)."""
         st = self._state()
         return None if st is None else st.get("extra")
+
+
+def retry_transient_reads(step, position, attempts: int = 6):
+    """Run ``step()`` retrying the transient vanished-file races a
+    consumer planning against a concurrently-vacuumed table can hit
+    (tagged FileNotFoundError from ``_load_root`` for a superseded
+    head, or its JVM-side file-vanished twins) — the ONE retry
+    classifier shared by every feed consumer (cursor poll, mirror
+    sync, aggregate sync), so a new transient marker cannot drift
+    between them. ``position`` is a callable returning the consumer's
+    own COMMITTED snapshot version: THAT snapshot going missing is a
+    retention lapse and is never retried."""
+    last_err = None
+    for _ in range(attempts):
+        try:
+            return step()
+        except FileNotFoundError as e:
+            gone = getattr(e, "snapshot_version", None)
+            if gone is not None and gone == position():
+                raise  # resume snapshot vacuumed: retention lapse
+            if gone is None and not _is_transient_read_race(e):
+                raise
+            last_err = e  # vacuumed head: list again and re-plan
+        except Exception as e:  # JVM-side file-vanished twins
+            if not _is_transient_read_race(e):
+                raise
+            last_err = e
+    raise last_err
 
 
 def _is_transient_read_race(e: BaseException) -> bool:
@@ -569,10 +586,9 @@ class ParquetMirror:
             pass
 
     def _save_schema(self, schema) -> None:
-        tmp = self._schema_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"ddl": schema.json()}, f)
-        os.replace(tmp, self._schema_path)
+        # the one shared durable atomic-JSON write (fsync'd), same as
+        # every sink metadata file and the aggregate's registry
+        atomic_write_json(self._schema_path, {"ddl": schema.json()})
 
     def _load_schema(self):
         if not os.path.exists(self._schema_path):
@@ -618,22 +634,8 @@ class ParquetMirror:
         end, so the whole step is safely retryable; the cursor's own
         committed snapshot going missing stays a loud retention
         error."""
-        last_err = None
-        for _ in range(6):
-            try:
-                return self._sync_once(sink)
-            except FileNotFoundError as e:
-                gone = getattr(e, "snapshot_version", None)
-                if gone is not None and gone == self.position():
-                    raise  # resume snapshot vacuumed: retention lapse
-                if gone is None and not _is_transient_read_race(e):
-                    raise
-                last_err = e
-            except Exception as e:  # JVM-side file-vanished twins
-                if not _is_transient_read_race(e):
-                    raise
-                last_err = e
-        raise last_err
+        return retry_transient_reads(
+            lambda: self._sync_once(sink), self.position)
 
     def _sync_once(self, sink) -> dict:
         import shutil

@@ -437,3 +437,73 @@ def test_spec_pinning_and_extra_persistence(spark, tmp_root):
     assert feed is not None
     cur.commit(tok)  # position-only: no extra argument
     assert cur.extra() == before
+
+
+def test_decimal_metric_survives_folds(spark, tmp_root):
+    """SUM widens DecimalType precision; a fold that persisted the
+    widened type would make the base unreadable under the pinned
+    schema on the next resolve (wedging the aggregate permanently).
+    The fold casts every metric back to its pinned delta type, so
+    repeated folds keep working and stay exact."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/agg_d", table,
+                            num_buckets=4)
+    agg = FeedAggregate(
+        spark, f"{tmp_root}/agg_d_state", group_by=GROUPS,
+        metrics={"amt": "cast(length(content) as decimal(10,2))"},
+        fold_every=2)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0"}
+    for i in range(5):  # crosses two folds and leaves one loose delta
+        sink.merge(fold_batch(_batch(spark, [
+            {**ins, "ms": 10 * (i + 1), "seq": 0, "repo": f"o/r{i}",
+             "path": "a.py", "lang": "py", "content": "x" * (i + 1)},
+        ]), table), {"step": i + 1})
+        agg.sync(sink)
+        got = {r["lang"]: (r["rows"], r["amt"])
+               for r in agg.read().collect()}
+        want = {
+            r["lang"]: (r["rows"], r["amt"])
+            for r in sink.read()
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.sum(F.expr(
+                     "cast(length(content) as decimal(10,2))"))
+                 .alias("amt"))
+            .collect()
+        }
+        # compare decimals by value, not by (possibly widened) scale
+        assert {k: (n, float(a)) for k, (n, a) in got.items()} == \
+               {k: (n, float(a)) for k, (n, a) in want.items()}
+    assert agg._committed()["base"] is not None  # folds really ran
+
+
+def test_value_neutral_span_does_not_grow_delta_list(spark, tmp_root):
+    """A compaction-only span writes a zero-group delta; the sync must
+    advance the position WITHOUT appending it — an idle-but-compacting
+    table must not creep toward pointless full-base folds. The empty
+    file is reaped as an orphan."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/agg_v", table,
+                            num_buckets=4)
+    agg = FeedAggregate(spark, f"{tmp_root}/agg_v_state",
+                        group_by=GROUPS, metrics=METRICS)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "lang": "py", "content": "aa"},
+    ]), table), {"step": 1})
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "o/r1",
+         "path": "a.py", "content": "aa"},
+    ]), table), {"step": 2})
+    agg.sync(sink)
+    before = agg._committed()
+    sink.compact()
+    v_compact = sink.snapshots()[-1]
+    assert v_compact > agg.position()
+    agg.sync(sink)
+    after = agg._committed()
+    assert agg.position() == v_compact  # position advanced
+    assert after == before  # ...but the delta list did not grow
+    assert not os.path.exists(agg._delta_path(v_compact))  # orphan reaped
+    assert _got(agg) == _direct(sink)
