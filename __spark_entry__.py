@@ -1023,6 +1023,80 @@ def q_aggregate_incremental(spark, sf_dir):
     return _digest_agg(agg.read(), line)
 
 
+def _entry_bagg_spec():
+    """World for the bucket-aggregate (non-invertible metrics) contract
+    entry — own world/target: a cold replay with a sync after every
+    window, not a catch-up over another entry's warm cache."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=61, n_events=3000,
+                               ttl_fraction=0.0)
+
+
+def q_aggregate_minmax(spark, sf_dir):
+    """Snapshot-synced incremental GROUP BY with NON-INVERTIBLE
+    metrics (sinks/aggregate.py::BucketAggregate): replay a
+    deterministic world window-by-window with a lang-keyed rollup —
+    row count + MIN/MAX/SUM of the content byte length — maintained as
+    per-(bucket, group) partials, re-derived after EVERY window for
+    ONLY the buckets that window touched (manifest-fingerprint diff,
+    the same change signal as every bucket-synced index), then digest
+    the final rollup. MIN/MAX are the metrics the feed-driven
+    ``aggregate_incremental`` rollup structurally cannot maintain
+    (deleting the current minimum needs the runner-up, which no delta
+    stream carries); the touched-bucket partial rescan is the bounded-
+    cost way to keep them exact under deletes and group-moving
+    updates. The oracle inlines the pure-Python golden's rollup
+    computed in ONE shot over the independent oracle's final state, so
+    a hash match proves N windows of partial maintenance == a direct
+    GROUP BY == the independent Python implementation."""
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import (
+        FIELD_SEP,
+        NULL_SENTINEL,
+    )
+    from scylla_cdc_java_spark.sinks.aggregate import BucketAggregate
+
+    spec = _entry_bagg_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    target = os.path.join(
+        base, f"target_bagg_{spec.cache_key()}_{ENTRY_TARGET_VERSION}")
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"], target,
+        cfg=EngineConfig(window_length_limit_ms=30_000),
+    )
+    agg = BucketAggregate(
+        spark, target + "_rollup",
+        group_by={"lang": "lang"},
+        metrics={"min_bytes": ("min", "length(content)"),
+                 "max_bytes": ("max", "length(content)"),
+                 "sum_bytes": ("sum", "length(content)")},
+    )
+    real_merge = eng.sink.merge
+
+    def merge_and_sync(*a, **kw):
+        stats = real_merge(*a, **kw)
+        agg.sync(eng.sink)
+        return stats
+
+    eng.sink.merge = merge_and_sync
+    eng.replay()
+    eng.sink.merge = real_merge
+    # warm-cache runs skip replay entirely (done checkpoint): one
+    # catch-up sync covers them; on cold runs it is a fingerprint no-op
+    agg.sync(eng.sink)
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.coalesce(F.col("lang"), F.lit(NULL_SENTINEL)),
+        F.col("rows").cast("string"),
+        F.coalesce(F.col("min_bytes").cast("string"), F.lit(NULL_SENTINEL)),
+        F.coalesce(F.col("max_bytes").cast("string"), F.lit(NULL_SENTINEL)),
+        F.coalesce(F.col("sum_bytes").cast("string"), F.lit(NULL_SENTINEL)),
+    )
+    return _digest_agg(agg.read(), line)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -1063,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_incremental": q_simhash_incremental,
         "changefeed": q_changefeed,
         "aggregate_incremental": q_aggregate_incremental,
+        "aggregate_minmax_incremental": q_aggregate_minmax,
     }
 
 
@@ -1219,6 +1294,12 @@ def _golden_oracles() -> dict[str, str]:
             f"select cast({na} as bigint) as n_rows, "
             f"cast({asum} as bigint) as state_sum, "
             f"cast({axor} as bigint) as state_xor"
+        )
+        nb, bsum, bxor = G.golden_bucket_aggregate_digest(_entry_bagg_spec())
+        out["aggregate_minmax_incremental"] = (
+            f"select cast({nb} as bigint) as n_rows, "
+            f"cast({bsum} as bigint) as state_sum, "
+            f"cast({bxor} as bigint) as state_xor"
         )
         out["multimodal_resize"] = _values_sql(
             G.golden_resize(sf),

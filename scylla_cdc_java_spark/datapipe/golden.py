@@ -715,3 +715,47 @@ def golden_feed_aggregate_digest(spec, table=None) -> tuple[int, int, int]:
         for lang, (n, b) in agg.items()
     ]
     return (len(lines), *digest_lines(lines))
+
+
+def golden_bucket_aggregate_digest(spec, table=None) -> tuple[int, int, int]:
+    """(n_groups, state_sum, state_xor) over the rollup a
+    snapshot-synced ``BucketAggregate(group_by={"lang": "lang"},
+    metrics={"min_bytes": ("min", "length(content)"), "max_bytes":
+    ("max", ...), "sum_bytes": ("sum", ...)})`` must hold after the CDC
+    world `spec` has fully replayed: the independent Python oracle's
+    final state grouped by ``lang`` (NULL group kept) with a row count
+    and null-skipping MIN/MAX/SUM of the content byte length (all-NULL
+    group -> NULL, matching SQL). Because the golden is one shot over
+    the FINAL state, a hash match proves N windows of touched-bucket
+    partial maintenance == a direct GROUP BY == the independent Python
+    implementation — the contract's ``aggregate_minmax_incremental``
+    gate (the non-invertible metrics the feed-driven rollup
+    structurally cannot carry)."""
+    from ..generator import generate_world
+    from ..model import DEFAULT_TABLE
+    from ..oracle import final_state, replay
+
+    table = table or DEFAULT_TABLE
+    rows = final_state(replay(generate_world(spec)["events"], table=table))
+    agg: dict = {}
+    for r in rows:
+        lang = r.get("lang")
+        c = r.get("content")
+        n, mn, mx, sm = agg.get(lang, (0, None, None, None))
+        if c is not None:
+            ln = len(c)
+            mn = ln if mn is None else min(mn, ln)
+            mx = ln if mx is None else max(mx, ln)
+            sm = (sm or 0) + ln
+        agg[lang] = (n + 1, mn, mx, sm)
+    lines = [
+        FIELD_SEP.join([
+            lang if lang is not None else NULL_SENTINEL,
+            str(n),
+            str(mn) if mn is not None else NULL_SENTINEL,
+            str(mx) if mx is not None else NULL_SENTINEL,
+            str(sm) if sm is not None else NULL_SENTINEL,
+        ])
+        for lang, (n, mn, mx, sm) in agg.items()
+    ]
+    return (len(lines), *digest_lines(lines))

@@ -138,12 +138,43 @@ class _BucketSyncedIndex:
     def _data_dir(self) -> str:
         return os.path.join(self.path, self.data_subdir)
 
-    # -- derived state (subclass hook) -----------------------------------
+    # -- derived state (subclass hooks) -----------------------------------
     def _values(self, docs: DataFrame, sink) -> DataFrame:
         """``docs`` is ``(pk columns..., _text, _doc_key)`` for every
         surviving row of the changed buckets; return ``(pk columns...,
         *value_cols)``."""
         raise NotImplementedError
+
+    def _derive(self, rows: DataFrame, sink) -> DataFrame:
+        """Full derivation hook: raw surviving rows of the changed
+        buckets -> the index rows to write, INCLUDING ``BUCKET_COL``
+        (which must be the sink's own routing — the partition a row's
+        resync is governed by). The default is the per-row text-index
+        shape (``_values`` over ``(pk, _text, _doc_key)``); subclasses
+        whose derived state is not per-row (e.g. per-bucket aggregate
+        partials, ``sinks.aggregate.BucketAggregate``) override this
+        instead of ``_values``."""
+        docs = rows.select(
+            *sink.table.primary_key,
+            # NULL text = empty doc (the golden mirrors ``text or
+            # ""``); without the coalesce the shingle array is NULL,
+            # the explode emits nothing, and the doc silently drops
+            # out of the index instead of carrying the empty-doc sig
+            F.coalesce(F.col(self.text_col), F.lit("")).alias("_text"),
+            F.concat_ws(
+                "\x1f", *[F.col(c) for c in sink.table.primary_key]
+            ).alias("_doc_key"),
+        )
+        return (
+            self._values(docs, sink)
+            # the SINK's routing (partition-key columns only): the
+            # index partition for a doc must be the bucket whose
+            # manifest fingerprint governs its resync, or docs land
+            # in partitions that never get overwritten again
+            .withColumn(BUCKET_COL, sink._bucket_expr())
+            .select(*sink.table.primary_key, *self.value_cols,
+                    BUCKET_COL)
+        )
 
     # -- maintenance ----------------------------------------------------
     def sync(self, sink) -> dict:
@@ -167,27 +198,7 @@ class _BucketSyncedIndex:
         emptied: list[str] = []
         if changed:
             rows = sink.read(buckets=[int(b) for b in changed])
-            docs = rows.select(
-                *sink.table.primary_key,
-                # NULL text = empty doc (the golden mirrors ``text or
-                # ""``); without the coalesce the shingle array is NULL,
-                # the explode emits nothing, and the doc silently drops
-                # out of the index instead of carrying the empty-doc sig
-                F.coalesce(F.col(self.text_col), F.lit("")).alias("_text"),
-                F.concat_ws(
-                    "\x1f", *[F.col(c) for c in sink.table.primary_key]
-                ).alias("_doc_key"),
-            )
-            out = (
-                self._values(docs, sink)
-                # the SINK's routing (partition-key columns only): the
-                # index partition for a doc must be the bucket whose
-                # manifest fingerprint governs its resync, or docs land
-                # in partitions that never get overwritten again
-                .withColumn(BUCKET_COL, sink._bucket_expr())
-                .select(*sink.table.primary_key, *self.value_cols,
-                        BUCKET_COL)
-            )
+            out = self._derive(rows, sink)
             # dynamic partition overwrite: replaces exactly the
             # partitions present in this batch, leaves the rest alone
             out = out.repartition(

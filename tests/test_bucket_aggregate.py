@@ -1,0 +1,195 @@
+"""Snapshot-synced incremental GROUP BY with non-invertible metrics —
+sinks/aggregate.py::BucketAggregate.
+
+The per-(bucket, group) partials maintained by touched-bucket rescan
+must equal a direct GROUP BY over the table snapshot after every sync,
+under the case the feed-driven rollup structurally cannot handle:
+deleting or updating away the current MIN/MAX, whose new value only a
+rescan can know. Touch-scoping (only changed buckets rescanned), spec
+pinning, restart, and the drained-table edge are asserted directly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_cdc_java_spark.model import (
+    OP_ROW_DELETE,
+    OP_ROW_INSERT,
+    OP_ROW_UPDATE,
+    TableConfig,
+)
+from scylla_cdc_java_spark.operators.fold import fold_batch, normalize_log
+from scylla_cdc_java_spark.sinks.aggregate import BucketAggregate
+from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+
+SID = b"\x0e" * 16
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+GROUPS = {"lang": "lang"}
+METRICS = {
+    "min_bytes": ("min", "length(content)"),
+    "max_bytes": ("max", "length(content)"),
+    "sum_bytes": ("sum", "length(content)"),
+}
+
+
+def _batch(spark, rows, columns=COLS):
+    data = [
+        (SID, {"ms": r["ms"], "seq": r["seq"]}, r["op"],
+         *[r.get(c) for c in columns])
+        for r in rows
+    ]
+    ddl = (
+        "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+        "`cdc$operation` tinyint, "
+        + ", ".join(f"`{c}` string" for c in columns)
+    )
+    return normalize_log(spark.createDataFrame(data, schema=ddl))
+
+
+def _direct(sink):
+    """Ground truth: the same rollup computed directly over the table."""
+    return {
+        r["lang"]: (r["rows"], r["min_bytes"], r["max_bytes"],
+                    r["sum_bytes"])
+        for r in sink.read()
+        .groupBy(F.expr("lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.min(F.expr("length(content)")).alias("min_bytes"),
+             F.max(F.expr("length(content)")).alias("max_bytes"),
+             F.sum(F.expr("length(content)")).cast("int")
+             .alias("sum_bytes"))
+        .collect()
+    }
+
+
+def _got(agg):
+    return {
+        r["lang"]: (r["rows"], r["min_bytes"], r["max_bytes"],
+                    r["sum_bytes"])
+        for r in agg.read().collect()
+    }
+
+
+def test_bucket_aggregate_tracks_table(spark, tmp_root):
+    """Sync-by-sync equality with a direct GROUP BY through the
+    non-invertible cases: the group MIN deleted (runner-up must
+    surface), the group MAX updated smaller, NULL metrics, a NULL
+    group, and a group drained to zero."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/bagg_t", table,
+                            num_buckets=8)
+    agg = BucketAggregate(spark, f"{tmp_root}/bagg_t_state",
+                          group_by=GROUPS, metrics=METRICS)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0"}
+
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "path": "a.py",
+         "lang": "py", "content": "a"},
+        {**ins, "ms": 10, "seq": 1, "repo": "o/r1", "path": "b.py",
+         "lang": "py", "content": "bbbb"},
+        {**ins, "ms": 10, "seq": 2, "repo": "o/r2", "path": "c.py",
+         "lang": "py", "content": "cc"},
+        {**ins, "ms": 10, "seq": 3, "repo": "o/r2", "path": "d.rs",
+         "lang": "rs", "content": None},
+        {**ins, "ms": 10, "seq": 4, "repo": "o/r3", "path": "e",
+         "lang": None, "content": "eee"},
+    ]), table), {"step": 1})
+    agg.sync(sink)
+    assert _got(agg) == _direct(sink)
+    assert _got(agg)["py"] == (3, 1, 4, 7)
+    assert _got(agg)["rs"] == (1, None, None, None)  # all-NULL metric
+
+    # delete the current py MIN ("a", len 1) and update the MAX
+    # ("bbbb") down to len 3 — the feed-only rollup cannot know the
+    # new extremes; the rescan must surface len-2 "cc" as min
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_DELETE, "ms": 20, "seq": 0, "repo": "o/r1",
+         "path": "a.py"},
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 1, "repo": "o/r1",
+         "path": "b.py", "content": "bbb"},
+    ]), table), {"step": 2})
+    agg.sync(sink)
+    direct = _direct(sink)
+    assert _got(agg) == direct
+    assert direct["py"] == (2, 2, 3, 5)
+
+    # drain rs entirely; it must vanish from the rollup
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_DELETE, "ms": 30, "seq": 0, "repo": "o/r2",
+         "path": "d.rs"},
+    ]), table), {"step": 3})
+    agg.sync(sink)
+    direct = _direct(sink)
+    assert _got(agg) == direct
+    assert "rs" not in _got(agg)
+
+
+def test_bucket_aggregate_touch_scoped_and_restart(spark, tmp_root):
+    """A sync after a one-partition-key change rescans only that key's
+    bucket; a fresh object on the same path (process restart) serves
+    the same state and keeps maintaining it."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/bagg_s", table,
+                            num_buckets=16)
+    agg = BucketAggregate(spark, f"{tmp_root}/bagg_s_state",
+                          group_by=GROUPS, metrics=METRICS)
+    ins = {"op": OP_ROW_INSERT, "commit": "c0"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": i, "repo": f"o/r{i}", "path": "f.py",
+         "lang": "py", "content": "x" * (i + 1)}
+        for i in range(12)
+    ]), table), {"step": 1})
+    first = agg.sync(sink)
+    assert len(first["changed"]) > 1  # bootstrap saw many buckets
+
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "o/r3",
+         "path": "f.py", "content": "yy"},
+    ]), table), {"step": 2})
+    res = BucketAggregate(  # restart: fresh object, same state path
+        spark, f"{tmp_root}/bagg_s_state",
+        group_by=GROUPS, metrics=METRICS,
+    ).sync(sink)
+    # one partition key changed -> exactly its bucket rescanned
+    assert len(res["changed"]) == 1
+    assert _got(agg) == _direct(sink)
+
+
+def test_bucket_aggregate_spec_pinned(spark, tmp_root):
+    """A mismatching (group_by, metrics) spec on an existing state
+    path refuses loudly — partials are only meaningful under one
+    spec. Unsupported agg fns refuse at construction."""
+    path = f"{tmp_root}/bagg_spec"
+    BucketAggregate(spark, path, group_by=GROUPS, metrics=METRICS)
+    with pytest.raises(ValueError, match="spec mismatch"):
+        BucketAggregate(spark, path, group_by=GROUPS,
+                        metrics={"min_bytes": ("min", "length(repo)")})
+    with pytest.raises(ValueError, match="unsupported agg fn"):
+        BucketAggregate(spark, f"{tmp_root}/bagg_fn",
+                        group_by=GROUPS,
+                        metrics={"m": ("avg", "length(content)")})
+    with pytest.raises(ValueError, match="reserved"):
+        BucketAggregate(spark, f"{tmp_root}/bagg_rows",
+                        group_by={"rows": "lang"})
+
+
+def test_bucket_aggregate_drained_table(spark, tmp_root):
+    """Every row deleted: all partials partitions drop; read() serves
+    zero rows off the persisted schema instead of raising."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/bagg_d", table,
+                            num_buckets=4)
+    agg = BucketAggregate(spark, f"{tmp_root}/bagg_d_state",
+                          group_by=GROUPS, metrics=METRICS)
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_INSERT, "commit": "c0", "ms": 10, "seq": 0,
+         "repo": "o/r1", "path": "a.py", "lang": "py", "content": "aa"},
+    ]), table), {"step": 1})
+    agg.sync(sink)
+    assert _got(agg) == {"py": (1, 2, 2, 2)}
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_DELETE, "ms": 20, "seq": 0, "repo": "o/r1",
+         "path": "a.py"},
+    ]), table), {"step": 2})
+    agg.sync(sink)
+    assert agg.read().count() == 0
