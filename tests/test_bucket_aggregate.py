@@ -173,6 +173,50 @@ def test_bucket_aggregate_spec_pinned(spark, tmp_root):
                         group_by={"rows": "lang"})
 
 
+def test_external_minmax_maintainer(spark, tmp_root):
+    """The deployment shape: ``tools/index_maintainer.py --kind
+    minmax`` in a SEPARATE OS process brings the non-invertible rollup
+    to the fixpoint of a replayed multi-window world (exit 0 == quiet
+    fixpoint confirmed), and the externally-maintained state equals a
+    direct GROUP BY; a follow-up in-process sync is a no-op."""
+    import os
+    import subprocess
+    import sys
+
+    from scylla_cdc_java_spark import (
+        Engine, EngineConfig, GenSpec, generate_world, write_world,
+    )
+
+    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = GenSpec(seed=53, n_events=1500, n_repos=20, paths_per_repo=6,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=120_000)
+    info = write_world(generate_world(spec), f"{tmp_root}/bagg_mm_world")
+    target = f"{tmp_root}/bagg_mm_target"
+    state_dir = f"{tmp_root}/bagg_mm_rollup"
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"], target,
+        cfg=EngineConfig(window_length_limit_ms=30_000, sleep_scale=0.01),
+    )
+    stats = eng.replay()
+    assert stats.windows >= 4
+
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO_ROOT, "tools", "index_maintainer.py"),
+         target, state_dir, "--kind", "minmax", "--interval", "0.1",
+         "--until-done", "--max-rounds", "60", "--cores", "2"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+
+    agg = BucketAggregate(spark, state_dir, group_by=GROUPS,
+                          metrics=METRICS)
+    s = agg.sync(eng.sink)
+    assert s["changed"] == [] and s["removed"] == []
+    assert _got(agg) == _direct(eng.sink)
+
+
 def test_bucket_aggregate_drained_table(spark, tmp_root):
     """Every row deleted: all partials partitions drop; read() serves
     zero rows off the persisted schema instead of raising."""

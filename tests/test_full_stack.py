@@ -1,4 +1,4 @@
-"""The full deployment, FIVE OS processes, zero coordination — the
+"""The full deployment, SIX OS processes, zero coordination — the
 complete round trip the engine supports, all at once:
 
     writer     Engine.replay: CDC log -> fold -> merge sink (CDC in)
@@ -13,6 +13,11 @@ complete round trip the engine supports, all at once:
                NON-idempotent feed consumer (delta-list-in-cursor
                commits) maintaining a GROUP-BY rollup (derived state
                over CDC out)
+    minmax     tools/index_maintainer.py --kind minmax: the
+               snapshot-synced rollup with NON-INVERTIBLE metrics
+               (per-(bucket, group) MIN/MAX/SUM partials re-derived
+               for only the touched buckets — the metrics the feed
+               structurally cannot carry)
 
 No process knows any other exists. The maintainer's and mirror's bucket
 reads survive the vacuum via cross-process read leases (file level);
@@ -25,7 +30,7 @@ failure with leases disabled).
 
 Final assertions: every daemon exits 0 at its fixpoint, the table is
 oracle-exact, the mirror equals the table, the index equals a full
-recompute, and the rollup equals a direct GROUP BY."""
+recompute, and both rollups equal a direct GROUP BY."""
 
 import json
 import os
@@ -50,7 +55,7 @@ def _rows(df):
     )
 
 
-def test_writer_compactor_maintainer_mirror_and_rollup_quint(
+def test_writer_compactor_maintainer_mirror_rollup_minmax_sext(
         spark, tmp_root):
     spec = GenSpec(seed=36, n_events=2500, n_repos=25, paths_per_repo=8,
                    n_generations=2, streams_per_generation=4,
@@ -61,10 +66,12 @@ def test_writer_compactor_maintainer_mirror_and_rollup_quint(
     index_dir = f"{tmp_root}/quad_index"
     mirror_dir = f"{tmp_root}/quad_mirror"
     rollup_dir = f"{tmp_root}/quad_rollup"
+    minmax_dir = f"{tmp_root}/quad_minmax"
     c_out = f"{tmp_root}/quad_compactor.jsonl"
     m_out = f"{tmp_root}/quad_maintainer.jsonl"
     r_out = f"{tmp_root}/quad_mirror.jsonl"
     a_out = f"{tmp_root}/quad_rollup.jsonl"
+    x_out = f"{tmp_root}/quad_minmax.jsonl"
 
     argv = {
         "compactor": [
@@ -91,6 +98,11 @@ def test_writer_compactor_maintainer_mirror_and_rollup_quint(
             target, rollup_dir, "--kind", "aggregate",
             "--interval", "0.3", "--until-done", "--max-rounds", "400",
             "--cores", "2", "--out", a_out],
+        "minmax": [
+            os.path.join(REPO_ROOT, "tools", "index_maintainer.py"),
+            target, minmax_dir, "--kind", "minmax",
+            "--interval", "0.3", "--until-done", "--max-rounds", "400",
+            "--cores", "2", "--out", x_out],
     }
     errs = {name: open(f"{tmp_root}/quad_{name}.err", "w")
             for name in argv}
@@ -189,3 +201,34 @@ def test_writer_compactor_maintainer_mirror_and_rollup_quint(
         .collect()
     }
     assert got_roll == want_roll
+
+    # the non-invertible rollup (snapshot-synced partials, its bucket
+    # reads protected across vacuums by file-level read leases) also
+    # tracked the moving table and equals a direct GROUP BY
+    from scylla_cdc_java_spark.sinks.aggregate import BucketAggregate
+
+    x_rounds = _jsonl(x_out)
+    assert any(r.get("changed", 0) > 0 and not r.get("writer_done")
+               for r in x_rounds), x_rounds
+    magg = BucketAggregate(
+        spark, minmax_dir, group_by={"lang": "lang"},
+        metrics={"min_bytes": ("min", "length(content)"),
+                 "max_bytes": ("max", "length(content)"),
+                 "sum_bytes": ("sum", "length(content)")},
+    )
+    got_mm = {r["lang"]: (r["rows"], r["min_bytes"], r["max_bytes"],
+                          r["sum_bytes"])
+              for r in magg.read().collect()}
+    want_mm = {
+        r["lang"]: (r["rows"], r["min_bytes"], r["max_bytes"],
+                    r["sum_bytes"])
+        for r in eng.sink.read()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.min(F.expr("length(content)")).alias("min_bytes"),
+             F.max(F.expr("length(content)")).alias("max_bytes"),
+             F.sum(F.expr("length(content)")).cast("int")
+             .alias("sum_bytes"))
+        .collect()
+    }
+    assert got_mm == want_mm

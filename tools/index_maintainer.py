@@ -17,7 +17,8 @@ catch-up exact, never quadratic.
 
 Usage:
     python tools/index_maintainer.py TARGET INDEX_DIR
-        [--kind minhash|simhash|ivf|aggregate] [--interval 1] [--once]
+        [--kind minhash|simhash|ivf|aggregate|minmax] [--interval 1]
+        [--once]
         [--until-done] [--expect-shards 1] [--done-quiet 2]
         [--max-rounds N] [--cores 2] [--text-col content]
         [--out maintainer.jsonl]
@@ -51,7 +52,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from daemon_util import wait_for_manifest, writer_done  # noqa: E402
 
-KINDS = ("minhash", "simhash", "ivf", "aggregate")
+KINDS = ("minhash", "simhash", "ivf", "aggregate", "minmax")
 EXIT_STALE_POSSIBLE = 3
 
 
@@ -69,6 +70,20 @@ def _make_index(kind: str, spark, index_dir: str, text_col: str,
             spark, index_dir,
             group_by={group_col: group_col},
             metrics={"bytes": f"length({text_col})"},
+        )
+    if kind == "minmax":
+        # the snapshot-synced rollup with NON-INVERTIBLE metrics
+        # (sinks/aggregate.py::BucketAggregate): maintenance core is
+        # the same bucket-synced fingerprint diff as the text indexes,
+        # so the loop below is unchanged
+        from scylla_cdc_java_spark.sinks.aggregate import BucketAggregate
+
+        return BucketAggregate(
+            spark, index_dir,
+            group_by={group_col: group_col},
+            metrics={"min_bytes": ("min", f"length({text_col})"),
+                     "max_bytes": ("max", f"length({text_col})"),
+                     "sum_bytes": ("sum", f"length({text_col})")},
         )
     from scylla_cdc_java_spark.datapipe.incremental import (
         IncrementalIVFIndex,
