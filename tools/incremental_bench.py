@@ -112,6 +112,21 @@ def main() -> None:
         report["initial_full_sync_s"] = round(time.time() - t0, 2)
         report["initial_buckets"] = len(first["changed"])
 
+        # the non-invertible rollup (BucketAggregate) rides the same
+        # maintenance core; measure it through the same protocol
+        from scylla_cdc_java_spark.sinks.aggregate import BucketAggregate
+
+        MM_SPEC = dict(
+            group_by={"lang": "lang"},
+            metrics={"min_bytes": ("min", "length(content)"),
+                     "max_bytes": ("max", "length(content)"),
+                     "sum_bytes": ("sum", "length(content)")},
+        )
+        agg = BucketAggregate(spark, os.path.join(work, "mm"), **MM_SPEC)
+        t0 = time.time()
+        agg.sync(eng.sink)
+        mm_report = {"initial_full_sync_s": round(time.time() - t0, 2)}
+
         # ---- 2. tail windows: few-repo updates through the real path ----
         tails = []
         for w in range(TAIL_WINDOWS):
@@ -131,10 +146,14 @@ def main() -> None:
             merge_s = time.time() - t0
             t0 = time.time()
             s = idx.sync(eng.sink)
+            sync_s = time.time() - t0
+            t0 = time.time()
+            agg.sync(eng.sink)
             tails.append({
                 "merge_s": round(merge_s, 2),
-                "sync_s": round(time.time() - t0, 2),
+                "sync_s": round(sync_s, 2),
                 "buckets_rescanned": len(s["changed"]),
+                "minmax_sync_s": round(time.time() - t0, 2),
             })
         report["tail_windows"] = tails
         report["tail_sync_best_s"] = min(t["sync_s"] for t in tails)
@@ -172,6 +191,41 @@ def main() -> None:
         report["incremental_equals_full"] = True
         report["speedup_full_over_tail_median"] = round(
             report["full_recompute_s"] / report["tail_sync_median_s"], 1)
+
+        # minmax rollup: full recompute from empty + equality with a
+        # direct GROUP BY over the final table (the O(table) control a
+        # non-incremental pipeline would pay per window)
+        agg2 = BucketAggregate(spark, os.path.join(work, "mm2"), **MM_SPEC)
+        t0 = time.time()
+        agg2.sync(eng.sink)
+        mm_report["full_recompute_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        direct = {
+            r["lang"]: (r["rows"], r["min_bytes"], r["max_bytes"],
+                        r["sum_bytes"])
+            for r in eng.sink.read()
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.min(F.expr("length(content)")).alias("min_bytes"),
+                 F.max(F.expr("length(content)")).alias("max_bytes"),
+                 F.sum(F.expr("length(content)")).alias("sum_bytes"))
+            .collect()
+        }
+        mm_report["direct_groupby_s"] = round(time.time() - t0, 2)
+        got = {r["lang"]: (r["rows"], r["min_bytes"], r["max_bytes"],
+                           r["sum_bytes"])
+               for r in agg.read().collect()}
+        got2 = {r["lang"]: (r["rows"], r["min_bytes"], r["max_bytes"],
+                            r["sum_bytes"])
+                for r in agg2.read().collect()}
+        assert got == got2 == direct, (got, got2, direct)
+        mm_report["incremental_equals_full_equals_direct"] = True
+        mm_syncs = sorted(t["minmax_sync_s"] for t in tails)
+        mm_report["tail_sync_median_s"] = mm_syncs[len(mm_syncs) // 2]
+        mm_report["speedup_full_over_tail_median"] = round(
+            mm_report["full_recompute_s"] / mm_report["tail_sync_median_s"],
+            1)
+        report["minmax_rollup"] = mm_report
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
