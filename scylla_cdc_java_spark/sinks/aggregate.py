@@ -398,14 +398,25 @@ class BucketAggregate:
                  metrics: dict[str, tuple] | None = None):
         from ..datapipe.incremental import _BucketSyncedIndex
 
+        from ..datapipe.incremental import BUCKET_COL
+
         if ROWS_COL in group_by or ROWS_COL in (metrics or {}):
             raise ValueError(f"'{ROWS_COL}' is reserved for the "
                              "implicit row-count metric")
+        if BUCKET_COL in group_by or BUCKET_COL in (metrics or {}):
+            raise ValueError(f"'{BUCKET_COL}' is reserved for the "
+                             "partials' bucket routing column")
         overlap = set(group_by) & set(metrics or {})
         if overlap:
             raise ValueError(f"column names used as both group and "
                              f"metric: {sorted(overlap)}")
         for n, spec in (metrics or {}).items():
+            if (not isinstance(spec, (tuple, list)) or len(spec) != 2
+                    or not isinstance(spec[0], str)):
+                raise ValueError(
+                    f"metric {n!r}: expected (fn, row_expr), got "
+                    f"{spec!r} — note FeedAggregate takes a bare expr "
+                    "string; this class needs the agg fn too")
             fn = spec[0]
             if fn not in self.AGG_FNS:
                 raise ValueError(

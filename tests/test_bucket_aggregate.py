@@ -95,9 +95,10 @@ def test_bucket_aggregate_tracks_table(spark, tmp_root):
          "lang": None, "content": "eee"},
     ]), table), {"step": 1})
     agg.sync(sink)
-    assert _got(agg) == _direct(sink)
-    assert _got(agg)["py"] == (3, 1, 4, 7)
-    assert _got(agg)["rs"] == (1, None, None, None)  # all-NULL metric
+    got = _got(agg)
+    assert got == _direct(sink)
+    assert got["py"] == (3, 1, 4, 7)
+    assert got["rs"] == (1, None, None, None)  # all-NULL metric
 
     # delete the current py MIN ("a", len 1) and update the MAX
     # ("bbbb") down to len 3 — the feed-only rollup cannot know the
@@ -119,9 +120,9 @@ def test_bucket_aggregate_tracks_table(spark, tmp_root):
          "path": "d.rs"},
     ]), table), {"step": 3})
     agg.sync(sink)
-    direct = _direct(sink)
-    assert _got(agg) == direct
-    assert "rs" not in _got(agg)
+    got = _got(agg)
+    assert got == _direct(sink)
+    assert "rs" not in got
 
 
 def test_bucket_aggregate_touch_scoped_and_restart(spark, tmp_root):
@@ -171,6 +172,15 @@ def test_bucket_aggregate_spec_pinned(spark, tmp_root):
     with pytest.raises(ValueError, match="reserved"):
         BucketAggregate(spark, f"{tmp_root}/bagg_rows",
                         group_by={"rows": "lang"})
+    with pytest.raises(ValueError, match="reserved"):
+        BucketAggregate(spark, f"{tmp_root}/bagg_bkt",
+                        group_by={"__bucket": "lang"})
+    # FeedAggregate-shaped metrics (bare expr string) refuse with a
+    # shape hint, not a cryptic first-character "unsupported fn"
+    with pytest.raises(ValueError, match="expected \\(fn, row_expr\\)"):
+        BucketAggregate(spark, f"{tmp_root}/bagg_shape",
+                        group_by=GROUPS,
+                        metrics={"bytes": "length(content)"})
 
 
 def test_external_minmax_maintainer(spark, tmp_root):
