@@ -1097,6 +1097,66 @@ def q_aggregate_minmax(spark, sf_dir):
     return _digest_agg(agg.read(), line)
 
 
+def q_aggregate_distinct(spark, sf_dir):
+    """The sketch member of the incremental rollup family
+    (sinks/aggregate.py::BucketAggregate, fn="approx_distinct"):
+    replay a deterministic world window-by-window maintaining a
+    per-lang DISTINCT-repo count as per-(bucket, group) HLL sketch
+    partials, re-derived after EVERY window for only the touched
+    buckets and unioned + estimated at read. DISTINCT is as
+    non-invertible as MIN/MAX (a delete cannot decrement the count
+    without knowing whether another live row carries the value), and a
+    sketch additionally cannot subtract — the touched-bucket rebuild
+    handles deletes exactly at the bucket grain. The world bounds
+    distinct repos per group at 60 (coupon-list regime, sketch EXACT),
+    so the digest is checked against the pure-Python golden's exact
+    set-based rollup: a hash match proves N windows of sketch
+    maintenance == COUNT(DISTINCT) == the independent Python
+    implementation."""
+    import dataclasses
+
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import (
+        FIELD_SEP,
+        NULL_SENTINEL,
+    )
+    from scylla_cdc_java_spark.sinks.aggregate import BucketAggregate
+
+    spec = dataclasses.replace(_entry_spec(), seed=67, n_events=3000,
+                               ttl_fraction=0.0)
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    target = os.path.join(
+        base, f"target_bdst_{spec.cache_key()}_{ENTRY_TARGET_VERSION}")
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"], target,
+        cfg=EngineConfig(window_length_limit_ms=30_000),
+    )
+    agg = BucketAggregate(
+        spark, target + "_rollup_hll",
+        group_by={"lang": "lang"},
+        metrics={"repos": ("approx_distinct", "repo")},
+    )
+    real_merge = eng.sink.merge
+
+    def merge_and_sync(*a, **kw):
+        stats = real_merge(*a, **kw)
+        agg.sync(eng.sink)
+        return stats
+
+    eng.sink.merge = merge_and_sync
+    eng.replay()
+    eng.sink.merge = real_merge
+    agg.sync(eng.sink)
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.coalesce(F.col("lang"), F.lit(NULL_SENTINEL)),
+        F.col("rows").cast("string"),
+        F.col("repos").cast("string"),
+    )
+    return _digest_agg(agg.read(), line)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -1138,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changefeed": q_changefeed,
         "aggregate_incremental": q_aggregate_incremental,
         "aggregate_minmax_incremental": q_aggregate_minmax,
+        "aggregate_distinct_incremental": q_aggregate_distinct,
     }
 
 
@@ -1300,6 +1361,15 @@ def _golden_oracles() -> dict[str, str]:
             f"select cast({nb} as bigint) as n_rows, "
             f"cast({bsum} as bigint) as state_sum, "
             f"cast({bxor} as bigint) as state_xor"
+        )
+        import dataclasses as _dc
+        nd, dsum, dxor = G.golden_bucket_distinct_digest(
+            _dc.replace(_entry_spec(), seed=67, n_events=3000,
+                        ttl_fraction=0.0))
+        out["aggregate_distinct_incremental"] = (
+            f"select cast({nd} as bigint) as n_rows, "
+            f"cast({dsum} as bigint) as state_sum, "
+            f"cast({dxor} as bigint) as state_xor"
         )
         out["multimodal_resize"] = _values_sql(
             G.golden_resize(sf),

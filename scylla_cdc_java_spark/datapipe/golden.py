@@ -759,3 +759,43 @@ def golden_bucket_aggregate_digest(spec, table=None) -> tuple[int, int, int]:
         for lang, (n, mn, mx, sm) in agg.items()
     ]
     return (len(lines), *digest_lines(lines))
+
+
+def golden_bucket_distinct_digest(spec, table=None) -> tuple[int, int, int]:
+    """(n_groups, state_sum, state_xor) for the contract's
+    ``aggregate_distinct_incremental`` gate: the rollup a
+    ``BucketAggregate(group_by={"lang": "lang"}, metrics={"repos":
+    ("approx_distinct", "repo")})`` must hold after the CDC world
+    `spec` has fully replayed — per-lang row count + DISTINCT repo
+    count over the independent Python oracle's final state (NULL group
+    kept; NULL values skipped, an all-NULL group counts 0, matching
+    ``count(distinct)``). The Spark side estimates via per-bucket HLL
+    sketch partials unioned at read; the entry's world bounds distinct
+    repos per group at GenSpec.n_repos (60), far inside the
+    DataSketches coupon-list regime where the sketch is EXACT — so a
+    hash match proves N windows of touched-bucket sketch rebuilds ==
+    a direct COUNT(DISTINCT) == this independent Python rollup, and
+    any drift out of the exact regime fails loudly rather than fuzzily.
+    """
+    from ..generator import generate_world
+    from ..model import DEFAULT_TABLE
+    from ..oracle import final_state, replay
+
+    table = table or DEFAULT_TABLE
+    rows = final_state(replay(generate_world(spec)["events"], table=table))
+    agg: dict = {}
+    for r in rows:
+        lang = r.get("lang")
+        n, repos = agg.get(lang, (0, set()))
+        if r.get("repo") is not None:
+            repos.add(r["repo"])
+        agg[lang] = (n + 1, repos)
+    lines = [
+        FIELD_SEP.join([
+            lang if lang is not None else NULL_SENTINEL,
+            str(n),
+            str(len(repos)),
+        ])
+        for lang, (n, repos) in agg.items()
+    ]
+    return (len(lines), *digest_lines(lines))

@@ -379,10 +379,28 @@ class BucketAggregate:
     deletes and group-moving updates.
 
     Metric spec: ``{out_col: (fn, row_expr)}`` with ``fn`` in
-    {"min", "max", "sum"}; a net ``rows`` count is always maintained.
-    NULL semantics match SQL (MIN/MAX/SUM skip NULLs; an all-NULL
-    group yields NULL). Like ``FeedAggregate``, the spec is pinned to
-    the state path on first use and a mismatch refuses loudly.
+    {"min", "max", "sum", "approx_distinct"}; a net ``rows`` count is
+    always maintained. NULL semantics match SQL (MIN/MAX/SUM skip
+    NULLs; an all-NULL group yields NULL; ``approx_distinct`` of an
+    all-NULL group is 0, matching ``count(distinct)``). Like
+    ``FeedAggregate``, the spec is pinned to the state path on first
+    use and a mismatch refuses loudly.
+
+    ``approx_distinct`` is the sketch member of the family: the
+    partial is an Apache DataSketches HLL sketch per (bucket, group)
+    (``hll_sketch_agg``, a few KB regardless of cardinality), and
+    read-time re-reduction is sketch union + estimate
+    (``hll_union_agg`` -> ``hll_sketch_estimate``) — distinct counts
+    over unbounded-cardinality columns at bounded state, mergeable
+    across any partial-aggregation tree. DISTINCT is as non-invertible
+    as MIN/MAX (a delete cannot decrement a distinct count without
+    knowing whether another live row still carries the value), and the
+    sketch additionally cannot "subtract" — the touched-bucket
+    re-derivation sidesteps both: a changed bucket's sketch is rebuilt
+    from its surviving rows, so deletes are exact at the bucket grain
+    and the union over buckets is the standard HLL merge (error ~1.6%
+    at the default lgConfigK=12, and EXACT below the sketch's
+    coupon-list threshold).
 
     Crash safety is the maintenance core's: the fingerprint state file
     lands atomically AFTER the partials, so a crash mid-sync redoes
@@ -391,7 +409,7 @@ class BucketAggregate:
     same as every derived index; readers needing snapshot isolation
     query the sink."""
 
-    AGG_FNS = ("min", "max", "sum")
+    AGG_FNS = ("min", "max", "sum", "approx_distinct")
 
     def __init__(self, spark, path: str,
                  group_by: dict[str, str],
@@ -468,7 +486,12 @@ class BucketAggregate:
         gcols = [F.expr(e).alias(n) for n, e in self.group_by.items()]
         aggs = [F.count(F.lit(1)).cast("long").alias(ROWS_COL)]
         for n, (fn, e) in self.metrics.items():
-            aggs.append(getattr(F, fn)(F.expr(e)).alias(n))
+            if fn == "approx_distinct":
+                # partial = an HLL sketch of the bucket's values (NULLs
+                # skipped by the sketch agg itself)
+                aggs.append(F.hll_sketch_agg(F.expr(e)).alias(n))
+            else:
+                aggs.append(getattr(F, fn)(F.expr(e)).alias(n))
         return (
             rows.withColumn(BUCKET_COL, sink._bucket_expr())
             .groupBy(F.col(BUCKET_COL), *gcols)
@@ -496,8 +519,16 @@ class BucketAggregate:
         types = {f.name: f.dataType for f in df.schema.fields}
         aggs = [F.sum(ROWS_COL).cast("long").alias(ROWS_COL)]
         for n, (fn, _e) in self.metrics.items():
-            col = getattr(F, fn)(F.col(n))
-            if fn == "sum":
-                col = col.cast(types[n])
+            if fn == "approx_distinct":
+                # sketch union across buckets, then one estimate; an
+                # all-NULL group's empty/absent sketch estimates as 0,
+                # matching count(distinct)
+                col = F.coalesce(
+                    F.hll_sketch_estimate(F.hll_union_agg(F.col(n))),
+                    F.lit(0).cast("long"))
+            else:
+                col = getattr(F, fn)(F.col(n))
+                if fn == "sum":
+                    col = col.cast(types[n])
             aggs.append(col.alias(n))
         return df.groupBy(*self.group_by).agg(*aggs)

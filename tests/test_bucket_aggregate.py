@@ -183,6 +183,76 @@ def test_bucket_aggregate_spec_pinned(spark, tmp_root):
                         metrics={"bytes": "length(content)"})
 
 
+def test_bucket_aggregate_approx_distinct(spark, tmp_root):
+    """The sketch member of the metric family: per-(bucket, group) HLL
+    partials unioned at read. At test cardinalities the DataSketches
+    HLL is exact (coupon-list regime), so equality with
+    count(distinct) is asserted outright — through inserts sharing
+    values across buckets, the delete of a value's LAST carrier (as
+    non-invertible for DISTINCT as deleting the MIN is for MIN), a
+    delete that leaves another carrier alive (count must NOT drop),
+    and an all-NULL group (0, matching SQL)."""
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/bagg_hll", table,
+                            num_buckets=8)
+    metrics = {"langs": ("approx_distinct", "lang"),
+               "variants": ("approx_distinct", "content")}
+    agg = BucketAggregate(spark, f"{tmp_root}/bagg_hll_state",
+                          group_by={"repo": "repo"}, metrics=metrics)
+
+    def direct():
+        return {
+            r["repo"]: (r["rows"], r["langs"], r["variants"])
+            for r in sink.read()
+            .groupBy("repo")
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.count_distinct("lang").alias("langs"),
+                 F.count_distinct("content").alias("variants"))
+            .collect()
+        }
+
+    def got():
+        return {r["repo"]: (r["rows"], r["langs"], r["variants"])
+                for r in agg.read().collect()}
+
+    ins = {"op": OP_ROW_INSERT, "commit": "c0"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": i, "repo": "o/r1", "path": f"p{i}",
+         "lang": ["py", "py", "rs", "py", "py", "py"][i],
+         "content": f"v{i % 2}"}
+        for i in range(6)
+    ] + [
+        {**ins, "ms": 10, "seq": 6, "repo": "o/r2", "path": "q",
+         "lang": "go", "content": None},
+    ]), table), {"step": 1})
+    agg.sync(sink)
+    g = got()
+    assert g == direct()
+    assert g["o/r1"] == (6, 2, 2)
+    assert g["o/r2"] == (1, 1, 0)  # all-NULL content -> 0 distinct
+
+    # delete the ONLY rs row: distinct langs must drop to 1 — the
+    # non-invertible case (a sketch cannot subtract; the bucket
+    # rebuild can); delete ONE of several py rows: langs must stay
+    sink.merge(fold_batch(_batch(spark, [
+        {"op": OP_ROW_DELETE, "ms": 20, "seq": 0, "repo": "o/r1",
+         "path": "p2"},   # the only rs
+        {"op": OP_ROW_DELETE, "ms": 20, "seq": 1, "repo": "o/r1",
+         "path": "p0"},   # one of several py
+    ]), table), {"step": 2})
+    agg.sync(sink)
+    g = got()
+    assert g == direct()
+    assert g["o/r1"][1] == 1  # rs gone; py survives via other rows
+
+    # a fresh rebuild from empty re-reduces to the identical estimates
+    agg2 = BucketAggregate(spark, f"{tmp_root}/bagg_hll2",
+                           group_by={"repo": "repo"}, metrics=metrics)
+    agg2.sync(sink)
+    assert {r["repo"]: (r["rows"], r["langs"], r["variants"])
+            for r in agg2.read().collect()} == g
+
+
 def test_external_minmax_maintainer(spark, tmp_root):
     """The deployment shape: ``tools/index_maintainer.py --kind
     minmax`` in a SEPARATE OS process brings the non-invertible rollup
