@@ -171,7 +171,8 @@ class _BucketSyncedIndex:
             # index partition for a doc must be the bucket whose
             # manifest fingerprint governs its resync, or docs land
             # in partitions that never get overwritten again
-            .withColumn(BUCKET_COL, sink._bucket_expr())
+            .withColumn(BUCKET_COL,
+                        sink._bucket_expr(getattr(self, "_route_nb", None)))
             .select(*sink.table.primary_key, *self.value_cols,
                     BUCKET_COL)
         )
@@ -185,6 +186,12 @@ class _BucketSyncedIndex:
         assert on)."""
         t0 = time.time()
         root = sink._load_root()
+        # pin this sync's index routing to the root it plans against:
+        # after an online rebucket every fingerprint moves (all buckets
+        # rescanned, stale partitions dropped), and the rewrite must be
+        # routed by the SAME count the diff was computed from even if
+        # another rebucket races mid-sync (the next diff self-heals)
+        self._route_nb = int(root.get("num_buckets", sink.num_buckets))
         cur_fp = {
             str(b): _entry_fingerprint(e)
             for b, e in root["bucket_index"].items()

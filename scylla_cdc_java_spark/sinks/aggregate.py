@@ -493,7 +493,11 @@ class BucketAggregate:
             else:
                 aggs.append(getattr(F, fn)(F.expr(e)).alias(n))
         return (
-            rows.withColumn(BUCKET_COL, sink._bucket_expr())
+            # routing pinned by the maintenance core to the root its
+            # fingerprint diff planned against (rebucket safety)
+            rows.withColumn(
+                BUCKET_COL,
+                sink._bucket_expr(getattr(self._core, "_route_nb", None)))
             .groupBy(F.col(BUCKET_COL), *gcols)
             .agg(*aggs)
             .select(*self.group_by, ROWS_COL, *self.metrics, BUCKET_COL)

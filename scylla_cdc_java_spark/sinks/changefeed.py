@@ -585,10 +585,25 @@ class ParquetMirror:
         except FileNotFoundError:
             pass
 
-    def _save_schema(self, schema) -> None:
+    def _save_schema(self, schema, num_buckets: int | None = None) -> None:
         # the one shared durable atomic-JSON write (fsync'd), same as
-        # every sink metadata file and the aggregate's registry
-        atomic_write_json(self._schema_path, {"ddl": schema.json()})
+        # every sink metadata file and the aggregate's registry.
+        # ``num_buckets`` records the SOURCE routing the mirror's
+        # partitions are physically laid out by — the value used in the
+        # bucket expr of the sync that wrote them, NOT necessarily the
+        # source's current count (a value-neutral rebucket span updates
+        # nothing). A later sync seeing a different target routing must
+        # full-rebuild (see _sync_once) or updated keys would leave
+        # stale copies in old-routing partitions.
+        atomic_write_json(self._schema_path,
+                          {"ddl": schema.json(), "num_buckets": num_buckets})
+
+    def _load_routing(self) -> int | None:
+        if not os.path.exists(self._schema_path):
+            return None
+        with open(self._schema_path) as f:
+            nb = json.load(f).get("num_buckets")
+        return None if nb is None else int(nb)
 
     def _load_schema(self):
         if not os.path.exists(self._schema_path):
@@ -684,6 +699,31 @@ class ParquetMirror:
         # value-neutral span could otherwise skip them)
         recover = self._load_staged(pos)
         changed = sorted(set(int(b) for b in changed) | recover)
+        # routing of the span's TARGET snapshot, pinned for every
+        # bucket expr this sync evaluates (the sink instance's live
+        # count could move under us if another rebucket raced)
+        tgt_nb = int(sink._load_root(tok["version"]).get(
+            "num_buckets", sink.num_buckets))
+        stored_nb = self._load_routing()
+        if pos is not None and stored_nb is not None and stored_nb != tgt_nb:
+            # the source was REBUCKETED since this mirror's partitions
+            # were written: they are routed by the old count, so a
+            # diff-apply would rewrite a changed key's NEW-routing
+            # partition while its stale copy sat untouched in the OLD
+            # one. Rebuild everything from the target snapshot — the
+            # recover path already does exactly that per bucket.
+            all_b = {
+                int(b)
+                for b in sink._load_root(tok["version"])["bucket_index"]
+            }
+            if os.path.isdir(self._data_dir):
+                all_b |= {
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(self._data_dir)
+                    if d.startswith(self.BUCKET_COL + "=")
+                }
+            recover = set(recover) | all_b
+            changed = sorted(set(changed) | all_b)
         if pos is not None:
             # value-neutral spans (compaction/vacuum moved fingerprints
             # but no row changed) would re-materialize identical
@@ -707,7 +747,12 @@ class ParquetMirror:
                 self._save_schema(
                     feed.select(*pk, *vals)
                     .withColumn(self.BUCKET_COL, F.lit(0).cast("int"))
-                    .schema)
+                    .schema,
+                    # partitions untouched: keep recording the routing
+                    # they were WRITTEN by, not the span target's (a
+                    # value-neutral rebucket span must leave the
+                    # mismatch visible for the next data span)
+                    stored_nb)
                 cur.commit(tok)
                 return {"applied_rows": 0, "changed": [], "removed": [],
                         "version": tok["version"],
@@ -747,11 +792,11 @@ class ParquetMirror:
                     empty_base, vals,
                 ).select(*pk, *vals)
                 out = out.where(
-                    ~sink._bucket_expr().isin(sorted(recover))
+                    ~sink._bucket_expr(tgt_nb).isin(sorted(recover))
                 ).unionByName(snap)
             out = (
                 out
-                .withColumn(self.BUCKET_COL, sink._bucket_expr())
+                .withColumn(self.BUCKET_COL, sink._bucket_expr(tgt_nb))
                 .repartition(max(len(changed) // 4, 1),
                              F.col(self.BUCKET_COL))
             )
@@ -783,7 +828,7 @@ class ParquetMirror:
         # persist the (monotone-union) schema BEFORE the cursor commit:
         # a crash in between leaves a newer schema with an older cursor,
         # which the redelivered span simply re-confirms
-        self._save_schema(out.schema)
+        self._save_schema(out.schema, tgt_nb)
         cur.commit(tok)
         self._clear_staged()
         return {"applied_rows": int(obs.get["n"]), "changed": changed,

@@ -164,6 +164,17 @@ def _empty_cells():
     )
 
 
+class RoutingChangedError(RuntimeError):
+    """A commit rebased onto a root whose ``num_buckets`` differs from
+    the one the staged files were routed by — an online ``rebucket()``
+    landed between this writer's staging and its commit. Committing
+    would misplace every staged row (bucket dirs keyed by the OLD
+    routing under an index keyed by the NEW), so the commit aborts
+    before touching the root. The failed ``_load_root`` under the lock
+    already refreshed the sink's routing, so the caller can simply
+    re-stage and retry — which ``merge()`` does once automatically."""
+
+
 class ParquetMergeSink:
     def __init__(
         self,
@@ -376,6 +387,19 @@ class ParquetMergeSink:
             }
         m.setdefault("value_columns", list(self.table.value_columns))
         m.setdefault("collection_columns", list(self.table.collection_columns))
+        if version is None:
+            # routing follows the CURRENT root: an online rebucket()
+            # (possibly by another process) changed num_buckets, and a
+            # long-lived instance that kept its constructor's count
+            # would route lookups/stages/index partitions by a dead
+            # layout. Versioned (time-travel) loads do NOT refresh —
+            # reading an old snapshot must not re-point the live
+            # routing. Writers are still safe across the staging window
+            # because commits fence on the count they staged with
+            # (RoutingChangedError).
+            nb = m.get("num_buckets")
+            if nb is not None and int(nb) != self.num_buckets:
+                self.num_buckets = int(nb)
         return m
 
     def _bucket_state(self, entry: dict) -> dict:
@@ -580,12 +604,16 @@ class ParquetMergeSink:
     # ------------------------------------------------------------------
     # schema / expressions
     # ------------------------------------------------------------------
-    def _bucket_expr(self):
+    def _bucket_expr(self, num_buckets: int | None = None):
         # ALL partition-key columns participate in the bucket hash —
         # composite partition keys co-locate with their tombstones
-        # (reference binds every partition column, Main.java:176-198)
+        # (reference binds every partition column, Main.java:176-198).
+        # ``num_buckets`` pins the expression to a specific routing
+        # (e.g. a rebucket's target, or a consumer pinning the count of
+        # the snapshot it plans against); default is the live count.
+        n = self.num_buckets if num_buckets is None else int(num_buckets)
         cols = [F.col(c) for c in self.table.partition_key]
-        return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
+        return F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
 
     def _physical_schema_ddl(
         self, value_columns: list[str], collection_columns: list[str]
@@ -1023,9 +1051,15 @@ class ParquetMergeSink:
                 raise TypeError(
                     f"partition-key value for {c!r} must be str, got "
                     f"{type(v).__name__}")
+        # route by the TARGET version's num_buckets — after an online
+        # rebucket a live instance must follow the current root, and a
+        # time-travel lookup across the boundary must use the OLD
+        # layout (that snapshot's files are routed by it)
+        nb = int(self._load_root(version).get(
+            "num_buckets", self.num_buckets))
         b = self.spark.range(1).select(
             F.pmod(F.xxhash64(*[F.lit(v) for v in pks]),
-                   F.lit(self.num_buckets)).cast("int").alias("b")
+                   F.lit(nb)).cast("int").alias("b")
         ).collect()[0]["b"]
         df = self.read(as_of_ms=as_of_ms, version=version, buckets=[b])
         for c, v in zip(self.table.partition_key, pks):
@@ -1075,10 +1109,31 @@ class ParquetMergeSink:
         scan because the write itself partitions by bucket. ``shard``
         scopes the checkpoint to one sharded consumer (multi-writer
         tables): only this shard's lineage is replaced; concurrent
-        shards' entries survive via the commit-time rebase."""
+        shards' entries survive via the commit-time rebase.
+
+        If an online ``rebucket()`` lands inside this merge's
+        stage->commit window, the commit fences (the staged files are
+        routed by the superseded count) and the whole attempt is
+        re-staged ONCE against the refreshed routing — the fenced
+        attempt's staging dirs become orphans that vacuum reaps under
+        ``staging_grace_s``. A second consecutive fence (rebucket storm)
+        propagates ``RoutingChangedError`` to the caller."""
+        try:
+            return self._merge_attempt(fold, checkpoint, shard=shard)
+        except RoutingChangedError:
+            # the fenced commit's _load_root already refreshed
+            # self.num_buckets; one full re-stage converges
+            return self._merge_attempt(fold, checkpoint, shard=shard)
+
+    def _merge_attempt(self, fold: FoldResult,
+                       checkpoint: dict | None = None,
+                       shard: str | None = None) -> dict:
         t0 = time.time()
         _mark = _phase_marker(t0)
         root = self._load_root()
+        # pin the routing this attempt stages with: the commit-time
+        # fence compares the then-current root against THIS count
+        nb = self.num_buckets
         tbl = self.table
         pk = list(tbl.primary_key)
 
@@ -1127,7 +1182,7 @@ class ParquetMergeSink:
         rel_rows = os.path.join("data", f"v{version}-{tok}", "rows")
         staging = os.path.join(self.path, rel_rows)
         (
-            delta.withColumn(BUCKET_COL, self._bucket_expr())
+            delta.withColumn(BUCKET_COL, self._bucket_expr(nb))
             .repartition(F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
@@ -1179,7 +1234,7 @@ class ParquetMergeSink:
         rel_tombs = os.path.join("data", f"v{version}-{tok}", "tombs")
         tomb_staging = os.path.join(self.path, rel_tombs)
         (
-            tombs.withColumn(BUCKET_COL, self._bucket_expr())
+            tombs.withColumn(BUCKET_COL, self._bucket_expr(nb))
             .repartition(F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
@@ -1234,6 +1289,11 @@ class ParquetMergeSink:
         # new delta on top of ITS entries is exactly right — segment
         # resolution is timestamp-LWW, order-independent) ----------------
         def _build(cur: dict) -> dict:
+            cur_nb = int(cur.get("num_buckets", nb))
+            if cur_nb != nb:
+                raise RoutingChangedError(
+                    f"table rebucketed to {cur_nb} buckets while this "
+                    f"merge staged against {nb}; re-stage and retry")
             v = cur["version"] + 1
             new_index = copy_index(cur["bucket_index"])
             for b in sorted(set(row_new) | set(tomb_new)):
@@ -1269,7 +1329,7 @@ class ParquetMergeSink:
                     "partition_key": list(tbl.partition_key),
                     "clustering_key": list(tbl.clustering_key),
                 },
-                "num_buckets": self.num_buckets,
+                "num_buckets": nb,
                 "salt_buckets": self.salt_buckets,
             }
 
@@ -1553,6 +1613,154 @@ class ParquetMergeSink:
         return {"compacted": done, "compact_s": time.time() - t0}
 
     # ------------------------------------------------------------------
+    def rebucket(self, new_num_buckets: int,
+                 expire_before_ms: int | None = None,
+                 max_retries: int = 5) -> dict:
+        """Online partition evolution: rewrite the WHOLE table under a
+        new ``pmod(xxhash64(pk), new_num_buckets)`` routing and swap
+        ``num_buckets`` + the entire bucket index in ONE atomic commit
+        (Iceberg's partition-spec evolution, at this sink's grain). At
+        100 TB the creation-time bucket count stops fitting a table
+        that grew 100x — lookup cost, the compaction unit, and the
+        changed-bucket grain of every incremental consumer (change
+        feed, mirror, bucket-synced indexes/rollups) all degrade
+        together; rebucket restores them for the cost of one full
+        rewrite, which is also a full compaction (tombstone sidecars
+        are routed by the OLD ids and are folded into the new pk-sorted
+        bases; ``expire_before_ms`` additionally applies TTL/tombstone
+        GC like ``compact``).
+
+        Concurrency protocol: optimistic, conservative. The commit
+        lands ONLY if every bucket's segment+sidecar set still equals
+        exactly what was planned against (checkpoint-only commits are
+        absorbed — the new root copies the then-current checkpoint);
+        any data commit in between aborts the attempt and the loop
+        replans from the new root, up to ``max_retries``. Writers that
+        staged against the OLD routing meanwhile fence at their own
+        commit (``RoutingChangedError``) and re-stage — see
+        ``merge()`` — so a live fleet crosses the boundary losing at
+        most one window of staging work per writer. Old-layout
+        snapshots stay time-travel readable until vacuumed; the
+        abandoned staging of a conflicted attempt is reaped by
+        ``vacuum`` under ``staging_grace_s``.
+
+        Cost model at scale: one resolved scan + one shuffle + one
+        sorted write of the live table — the same shape as a full
+        compaction, embarrassingly parallel over (bucket, salt)
+        slices. The commit critical section stays O(num_buckets)
+        driver-side metadata (it writes one immutable per-bucket
+        manifest per NEW bucket plus one full sharded-index base —
+        the one commit where O(all buckets) is inherent)."""
+        new_nb = int(new_num_buckets)
+        if new_nb < 1:
+            raise ValueError(f"new_num_buckets must be >= 1, got {new_nb}")
+        t0 = time.time()
+        for attempt in range(1, max_retries + 1):
+            root = self._load_root()
+            old_nb = int(root.get("num_buckets", self.num_buckets))
+            # exact read-set capture: the conflict check is equality of
+            # every bucket's (segs, sidecars) against the commit-time
+            # root — stricter than compact's subset rebase because the
+            # rewrite is total (a missed concurrent delta would vanish)
+            read_index = {
+                str(b): (frozenset(st.get("segs", ())),
+                         frozenset(st.get("tomb_segs", ())))
+                for b, st in ((b, self._bucket_state(e))
+                              for b, e in root["bucket_index"].items())
+            }
+            sub = self._resolve(root)
+            version = root["version"] + 1
+            tok = uuid.uuid4().hex[:8]
+            rel_out = os.path.join("data", f"v{version}-{tok}", "base")
+            staging = os.path.join(self.path, rel_out)
+            written: dict[str, str] = {}
+            if sub["buckets"] or any(sub["tomb_segs"].values()):
+                resolved = self._read_physical_resolved(
+                    sub, list(sub["buckets"]))
+                if expire_before_ms is not None:
+                    resolved = self._purge_expired(
+                        resolved, root["value_columns"],
+                        root["collection_columns"], expire_before_ms)
+                # same write shape as compact: pk-sorted bases, one
+                # file per new bucket; the task-count cap keeps a
+                # 10^5-bucket rewrite from scheduling 10^5+ tiny tasks
+                n_parts = max(
+                    1, min(new_nb * min(self.salt_buckets, 4), 8192))
+                ck_cols = [F.col(c) for c in self.table.clustering_key]
+                (
+                    resolved.withColumn(BUCKET_COL,
+                                        self._bucket_expr(new_nb))
+                    .withColumn(
+                        "__salt",
+                        F.pmod(F.xxhash64(*ck_cols),
+                               F.lit(self.salt_buckets)).cast("int"),
+                    )
+                    .repartition(n_parts, F.col(BUCKET_COL),
+                                 F.col("__salt"))
+                    .drop("__salt")
+                    .sortWithinPartitions(
+                        F.col(BUCKET_COL),
+                        *[F.col(c) for c in self.table.primary_key],
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy(BUCKET_COL)
+                    .parquet(staging)
+                )
+                if os.path.exists(staging):
+                    for d in sorted(os.listdir(staging)):
+                        if d.startswith(BUCKET_COL + "="):
+                            written[d.split("=", 1)[1]] = os.path.join(
+                                rel_out, d)
+
+            def _build(cur: dict) -> dict | None:
+                if int(cur.get("num_buckets", old_nb)) != old_nb:
+                    return None  # another rebucket won; replan
+                cur_index = {
+                    str(b): (frozenset(st.get("segs", ())),
+                             frozenset(st.get("tomb_segs", ())))
+                    for b, st in ((b, self._bucket_state(e))
+                                  for b, e in cur["bucket_index"].items())
+                }
+                if cur_index != read_index:
+                    return None  # a data commit landed since planning
+                v = cur["version"] + 1
+                new_index = {
+                    b: self._write_bucket_meta(
+                        b, {"segs": [rel], "tomb_segs": [],
+                            "tomb_rows": 0}, v)
+                    for b, rel in written.items()
+                }
+                # plain dict (not derived from cur's sharded view):
+                # _commit migrates it by writing a fresh full index
+                # base under the NEW shard count — exactly the total
+                # replacement a rebucket is
+                new_root = {
+                    k: x for k, x in cur.items() if k != "bucket_index"
+                }
+                new_root["version"] = v
+                new_root["bucket_index"] = new_index
+                new_root["num_buckets"] = new_nb
+                return new_root
+
+            committed = self._commit_under_lock(_build)
+            if committed is not None:
+                self.num_buckets = new_nb
+                return {
+                    "num_buckets": new_nb,
+                    "previous_num_buckets": old_nb,
+                    "version": committed["version"],
+                    "attempts": attempt,
+                    "buckets_written": len(written),
+                    "rebucket_s": time.time() - t0,
+                }
+            # conflicted: the staged bases are orphans (vacuum reaps
+            # them after staging_grace_s); replan from the new root
+        raise RuntimeError(
+            f"rebucket to {new_nb} conflicted with concurrent commits "
+            f"{max_retries} times; quiesce or shard-pause writers, or "
+            f"raise max_retries")
+
+    # ------------------------------------------------------------------
     def rollback(self, version: int) -> dict:
         """Reset the table to snapshot ``version`` — table state AND the
         embedded consumption checkpoint together, so a subsequent
@@ -1571,6 +1779,9 @@ class ParquetMergeSink:
             return m
 
         m = self._commit_under_lock(_build)
+        # the restored snapshot may predate a rebucket: follow its
+        # routing so this instance's next stage matches what it commits
+        self.num_buckets = int(m.get("num_buckets", self.num_buckets))
         return {"rolled_back_to": version, "version": m["version"]}
 
     # ------------------------------------------------------------------
