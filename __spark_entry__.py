@@ -1157,6 +1157,62 @@ def q_aggregate_distinct(spark, sf_dir):
     return _digest_agg(agg.read(), line)
 
 
+def q_rebucket_online(spark, sf_dir):
+    """Online partition evolution under load
+    (sinks/parquet_merge.py::rebucket): replay a deterministic world
+    while an EXTERNAL maintainer rebuckets the live table 8 -> 24
+    inside one of the engine's stage->commit windows — that merge
+    fences (RoutingChangedError: its staged files are routed by the
+    superseded count) and transparently re-stages under the new
+    routing. The final table digest must equal the pure-Python
+    oracle's (golden_cdc_digest is bucket-agnostic): a hash match
+    proves the full rewrite folded every pending tombstone, the
+    conflict protocol lost no concurrent window, and the fenced
+    writer's retry re-applied its window exactly once (LWW
+    idempotency). This is lake-side maintenance beyond the reference
+    library's scope — the Iceberg partition-spec-evolution analogue a
+    100 TB deployment needs when the creation-time bucket count stops
+    fitting."""
+    import dataclasses
+
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import (
+        FIELD_SEP,
+        NULL_SENTINEL,
+    )
+    from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+
+    spec = dataclasses.replace(_entry_spec(), seed=68)
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    target = os.path.join(
+        base, f"target_rbk_{spec.cache_key()}_{ENTRY_TARGET_VERSION}")
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"], target,
+        cfg=EngineConfig(window_length_limit_ms=20_000, num_buckets=8),
+    )
+    n = [0]
+    orig = eng.sink._commit_under_lock
+
+    def wrapper(build, snapshot=True):
+        n[0] += 1
+        if n[0] == 3:
+            ParquetMergeSink.for_existing(spark, target).rebucket(24)
+        return orig(build, snapshot=snapshot)
+
+    eng.sink._commit_under_lock = wrapper
+    eng.replay()
+    eng.sink._commit_under_lock = orig
+    line = F.concat_ws(
+        FIELD_SEP,
+        F.col("repo"),
+        F.col("path"),
+        *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
+          for c in ("commit", "lang", "content")],
+    )
+    return _digest_agg(eng.sink.read(), line)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_last_writer": q_lww_last_writer,
@@ -1199,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_incremental": q_aggregate_incremental,
         "aggregate_minmax_incremental": q_aggregate_minmax,
         "aggregate_distinct_incremental": q_aggregate_distinct,
+        "rebucket_online": q_rebucket_online,
     }
 
 
@@ -1302,6 +1359,14 @@ def _golden_oracles() -> dict[str, str]:
             f"select cast({n} as bigint) as n_rows, "
             f"cast({dsum} as bigint) as state_sum, "
             f"cast({dxor} as bigint) as state_xor"
+        )
+        import dataclasses as _dc_rbk
+        nr, rsum, rxor = G.golden_cdc_digest(
+            _dc_rbk.replace(_entry_spec(), seed=68))
+        out["rebucket_online"] = (
+            f"select cast({nr} as bigint) as n_rows, "
+            f"cast({rsum} as bigint) as state_sum, "
+            f"cast({rxor} as bigint) as state_xor"
         )
         from scylla_cdc_java_spark.model import TableConfig
 
