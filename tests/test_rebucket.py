@@ -354,6 +354,160 @@ def test_engine_world_rebucket_midway_matches_oracle(spark, tmp_root):
 # consumers across the boundary
 # ---------------------------------------------------------------------------
 
+def test_external_rebucketer_under_live_stack(spark, tmp_root):
+    """Partition evolution as a fifth zero-coordination OS process in
+    the live deployment: in-proc writer replaying a world + external
+    compactor at maximum vacuum pressure (retain-snapshots 1) +
+    external MinHash index maintainer + external mirror consumer +
+    an external REBUCKETER (tools/rebucketer.py) that lands INSIDE one
+    of the writer's stage->commit windows — run synchronously there so
+    the cross-process fence is deterministic: the writer's in-flight
+    commit must raise RoutingChangedError and converge on one re-stage.
+    Afterwards every consumer must cross the boundary: post-rebucket
+    windows update pre-rebucket keys, so a mirror that skipped its
+    routing rebuild would keep stale copies in old-routing partitions
+    and diverge from the table."""
+    import subprocess
+
+    spec = GenSpec(seed=37, n_events=2000, n_repos=20, paths_per_repo=8,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=300_000, p_range_delete=0.05)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/rbk_live_world")
+    target = f"{tmp_root}/rbk_live_target"
+    index_dir = f"{tmp_root}/rbk_live_index"
+    mirror_dir = f"{tmp_root}/rbk_live_mirror"
+    rb_out = f"{tmp_root}/rbk_live_rb.jsonl"
+    import os
+    import sys as _sys
+    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    argv = {
+        "compactor": [
+            os.path.join(REPO_ROOT, "tools", "compactor.py"),
+            target, "--interval", "1", "--max-rounds", "200",
+            "--until-done", "--grace", "10", "--retain-snapshots", "1",
+            "--reader-lease", "10", "--cores", "2",
+            "--out", f"{tmp_root}/rbk_live_c.jsonl"],
+        "maintainer": [
+            os.path.join(REPO_ROOT, "tools", "index_maintainer.py"),
+            target, index_dir, "--kind", "minhash", "--interval", "0.3",
+            "--until-done", "--max-rounds", "400", "--cores", "2",
+            "--out", f"{tmp_root}/rbk_live_m.jsonl"],
+        "mirror": [
+            os.path.join(REPO_ROOT, "tools", "mirror_consumer.py"),
+            target, mirror_dir, "--interval", "0.3", "--until-done",
+            "--max-rounds", "400", "--cores", "2",
+            "--out", f"{tmp_root}/rbk_live_r.jsonl"],
+    }
+    errs = {n: open(f"{tmp_root}/rbk_live_{n}.err", "w") for n in argv}
+    daemons = {
+        n: subprocess.Popen([_sys.executable, *a],
+                            stdout=subprocess.DEVNULL, stderr=errs[n])
+        for n, a in argv.items()
+    }
+    fenced = []
+    try:
+        eng = Engine(
+            spark, info["log_dir"], info["generations_path"], target,
+            cfg=EngineConfig(window_length_limit_ms=20_000,
+                             compact_threshold=10**6, num_buckets=8),
+        )
+
+        def run_rebucketer():
+            res = subprocess.run(
+                [_sys.executable,
+                 os.path.join(REPO_ROOT, "tools", "rebucketer.py"),
+                 target, "24", "--cores", "2", "--max-retries", "25",
+                 "--out", rb_out],
+                capture_output=True, timeout=600)
+            assert res.returncode == 0, res.stderr[-2000:]
+
+        n_attempts = [0]
+        real_attempt = eng.sink._merge_attempt
+        real_merge = eng.sink.merge
+
+        def merge_observed(fold, checkpoint=None, touched_src=None,
+                           shard=None):
+            # merge() with the retry made observable: the test must
+            # SEE the cross-process fence fire, not just converge
+            try:
+                return eng.sink._merge_attempt(fold, checkpoint,
+                                               shard=shard)
+            except RoutingChangedError:
+                fenced.append(eng.sink.num_buckets)
+                return eng.sink._merge_attempt(fold, checkpoint,
+                                               shard=shard)
+
+        def attempt_hooked(fold, checkpoint=None, shard=None):
+            n_attempts[0] += 1
+            if n_attempts[0] == 3:
+                # external rebucket lands while THIS merge is between
+                # staging and commit
+                _hook_before_commit(eng.sink, run_rebucketer)
+            return real_attempt(fold, checkpoint, shard=shard)
+
+        eng.sink.merge = merge_observed
+        eng.sink._merge_attempt = attempt_hooked
+        stats = eng.replay()
+        eng.sink.merge = real_merge
+        eng.sink._merge_attempt = real_attempt
+        assert stats.windows >= 8, stats.windows
+        for p in daemons.values():
+            p.wait(timeout=300)
+    finally:
+        for p in daemons.values():
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+        for fh in errs.values():
+            fh.close()
+    for n, p in daemons.items():
+        with open(f"{tmp_root}/rbk_live_{n}.err") as fh:
+            tail = fh.read()[-3000:]
+        assert p.returncode == 0, (n, p.returncode, tail)
+
+    # the cross-process fence really fired and converged
+    assert fenced == [24], fenced
+    import json as _json
+    with open(rb_out) as fh:
+        rb = _json.loads(fh.readlines()[-1])
+    assert rb["num_buckets"] == 24 and rb["previous_num_buckets"] == 8
+
+    fresh = ParquetMergeSink.for_existing(spark, target)
+    assert fresh.num_buckets == 24
+
+    # table oracle-exact across the mid-campaign rebucket
+    want = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in final_state(replay(world["events"]))
+    )
+    got = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in fresh.read().collect()
+    )
+    assert got == want and len(got) > 0
+
+    # the external mirror crossed the routing boundary (stale-copy-free)
+    from scylla_cdc_java_spark.sinks.changefeed import ParquetMirror
+
+    mirror = ParquetMirror(spark, mirror_dir)
+    got_m = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in mirror.read().collect()
+    )
+    assert got_m == want
+
+    # the external index equals a full recompute over the final table
+    from scylla_cdc_java_spark.datapipe.incremental import (
+        IncrementalMinHashIndex,
+    )
+    from test_incremental import _collect_sigs, _full_recompute, _inc_view
+
+    idx = IncrementalMinHashIndex(spark, index_dir, text_col="content")
+    assert _collect_sigs(_inc_view(idx)) == _collect_sigs(
+        _full_recompute(fresh))
+
+
 def test_changefeed_across_rebucket(spark, tmp_root):
     from scylla_cdc_java_spark.sinks.changefeed import CHANGE_TYPE_COL
 
