@@ -687,6 +687,55 @@ def _entry_inc_spec():
                                ttl_fraction=0.0)
 
 
+# zone-map scan entry: pk-range conjuncts (prune via the pk stats of
+# repo-bucketed segments) + a value-column conjunct (residual filter)
+SCAN_FILTERS = (("repo", ">=", "org1/"), ("repo", "<", "org2/"),
+                ("lang", "in", ("py", "go")))
+
+
+def _entry_scan_spec():
+    """World for the zone-map scan contract entry (own target: the
+    entry compacts, and shared caches should stay untouched)."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=68, n_events=3000,
+                               ttl_fraction=0.0)
+
+
+def q_scan_pruned(spark, sf_dir):
+    """Zone-map data skipping (``sink.scan``): replay a deterministic
+    world, fully compact so every bucket carries footer-derived
+    per-segment min/max stats, then scan with pk-range + value-column
+    conjuncts — buckets whose stats exclude the predicate are never
+    opened (per-bucket manifest ``stats``, captured free from the
+    parquet footers at every merge/compact/rebucket). The oracle
+    inlines the pure-Python golden's row-at-a-time filter over the
+    independent oracle replay's final state — it carries no stats at
+    all — so a digest match proves pruning dropped no matching bucket
+    AND the residual predicate is exact."""
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import FIELD_SEP, NULL_SENTINEL
+
+    spec = _entry_scan_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"],
+        os.path.join(
+            base, f"target_scan_{spec.cache_key()}_{ENTRY_TARGET_VERSION}"),
+        cfg=EngineConfig(window_length_limit_ms=30_000),
+    )
+    eng.replay()
+    eng.sink.compact(buckets=list(range(eng.sink.num_buckets)))
+    df = eng.sink.scan([tuple(f) for f in SCAN_FILTERS])
+    line = F.concat_ws(
+        FIELD_SEP, F.col("repo"), F.col("path"),
+        *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
+          for c in ("commit", "lang", "content")],
+    )
+    return _digest_agg(df, line)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental datapipe over the CDC-MAINTAINED table
     (datapipe/incremental.py): replay a deterministic world
@@ -1256,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_minmax_incremental": q_aggregate_minmax,
         "aggregate_distinct_incremental": q_aggregate_distinct,
         "rebucket_online": q_rebucket_online,
+        "scan_pruned": q_scan_pruned,
     }
 
 
@@ -1367,6 +1417,13 @@ def _golden_oracles() -> dict[str, str]:
             f"select cast({nr} as bigint) as n_rows, "
             f"cast({rsum} as bigint) as state_sum, "
             f"cast({rxor} as bigint) as state_xor"
+        )
+        nsc, scsum, scxor = G.golden_scan_digest(
+            _entry_scan_spec(), SCAN_FILTERS)
+        out["scan_pruned"] = (
+            f"select cast({nsc} as bigint) as n_rows, "
+            f"cast({scsum} as bigint) as state_sum, "
+            f"cast({scxor} as bigint) as state_xor"
         )
         from scylla_cdc_java_spark.model import TableConfig
 

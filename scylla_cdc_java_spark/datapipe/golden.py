@@ -367,6 +367,50 @@ def golden_cdc_digest(spec, table=None) -> tuple[int, str]:
     return (len(rows), *digest_lines(lines))
 
 
+def golden_scan_digest(spec, filters, table=None) -> tuple[int, int, int]:
+    """Digest of the oracle's final state restricted to ``filters`` —
+    the pure-Python mirror of ``sink.scan(filters)``'s zone-map-pruned
+    read. Conjuncts are null-rejecting string predicates, evaluated
+    row-at-a-time here (the independent implementation carries no
+    stats at all, so a match also proves pruning never dropped a
+    matching bucket)."""
+    from ..generator import generate_world
+    from ..model import DEFAULT_TABLE
+    from ..oracle import final_state, replay
+
+    def _match(r) -> bool:
+        for c, op, v in filters:
+            x = r.get(c)
+            if x is None:
+                return False
+            if op in ("=", "=="):
+                ok = x == v
+            elif op == "<":
+                ok = x < v
+            elif op == "<=":
+                ok = x <= v
+            elif op == ">":
+                ok = x > v
+            elif op == ">=":
+                ok = x >= v
+            elif op == "in":
+                ok = x in v
+            elif op == "between":
+                ok = v[0] <= x <= v[1]
+            else:
+                raise ValueError(f"unsupported op {op!r}")
+            if not ok:
+                return False
+        return True
+
+    table = table or DEFAULT_TABLE
+    world = generate_world(spec)
+    rows = [r for r in final_state(replay(world["events"], table=table))
+            if _match(r)]
+    lines = state_lines(rows)
+    return (len(rows), *digest_lines(lines))
+
+
 def golden_cdc_digest_postimage(spec, table=None) -> tuple[int, str]:
     """Postimage-mode digest: augment the world with op-9 POSTIMAGE rows
     (sequential oracle-tracked full-row images), then replay through the

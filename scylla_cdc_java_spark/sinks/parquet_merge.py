@@ -893,7 +893,8 @@ class ParquetMergeSink:
         )
 
     def read_physical(self, buckets: list[int] | None = None,
-                      version: int | None = None) -> DataFrame:
+                      version: int | None = None,
+                      _root: dict | None = None) -> DataFrame:
         """Resolved physical view (merge-on-read): segment union ->
         per-key LWW aggregation -> tombstone application. The
         aggregation is SKIPPED when every selected bucket holds exactly
@@ -907,7 +908,9 @@ class ParquetMergeSink:
         ``reader_lease_s`` — ``vacuum()`` will not delete these files
         while the lease is live, so the lazy plan stays executable even
         if a compact+vacuum lands between plan and action."""
-        m = self._resolve(self._load_root(version), buckets)
+        m = self._resolve(
+            _root if _root is not None else self._load_root(version),
+            buckets)
         return self._read_physical_resolved(
             m, list(m["buckets"]) if buckets is not None else None
         )
@@ -948,7 +951,8 @@ class ParquetMergeSink:
 
     def read(self, as_of_ms: int | None = None,
              version: int | None = None,
-             buckets: list[int] | None = None) -> DataFrame:
+             buckets: list[int] | None = None,
+             _root: dict | None = None) -> DataFrame:
         """Public view: live rows, logical columns only. ``as_of_ms``
         applies TTL expiry as of that instant (Scylla expires a cell at
         write-time + TTL; the lake sink applies the same rule at read
@@ -960,10 +964,11 @@ class ParquetMergeSink:
         the surface incremental derived-index maintenance
         (datapipe/incremental.py) uses to rescan only what a CDC window
         touched: O(touched buckets) file IO, never the whole table."""
-        m = self._load_root(version)
+        m = _root if _root is not None else self._load_root(version)
         vcols = m["value_columns"]
         coll_cols = m["collection_columns"]
-        phys = self.read_physical(buckets=buckets, version=version)
+        phys = self.read_physical(buckets=buckets, version=version,
+                                  _root=m)
 
         def _vis_coll(c):
             # resolved cells already beat every tombstone; visibility =
@@ -1017,6 +1022,153 @@ class ParquetMergeSink:
         for t in live_terms[1:]:
             live = live | t
         return phys.where(live).select(*sel)
+
+    def _parse_scan_filters(self, filters, root: dict):
+        """Validate and canonicalize ``scan()`` conjuncts. Accepted ops:
+        ``= < <= > >= in between`` over primary-key or scalar value
+        columns (all strings in this model). Everything is LOUD:
+        unknown columns, collection columns, and non-str literals raise
+        instead of silently returning empty/wrong results (same
+        strictness as ``lookup()``'s literal-type check — a non-str
+        literal would make Spark cast the string column, every value
+        casting to NULL)."""
+        allowed = set(self.table.primary_key) | set(root["value_columns"])
+        colls = set(root["collection_columns"])
+        conj = []
+        for flt in filters:
+            if not (isinstance(flt, (list, tuple)) and len(flt) == 3):
+                raise ValueError(
+                    f"filter must be (column, op, value), got {flt!r}")
+            c, op, v = flt
+            op = "=" if op == "==" else op
+            if c in colls:
+                raise ValueError(
+                    f"scan() cannot filter on collection column {c!r}")
+            if c not in allowed:
+                raise ValueError(
+                    f"unknown scan column {c!r}; known: {sorted(allowed)}")
+            if op in ("=", "<", "<=", ">", ">="):
+                if not isinstance(v, str):
+                    raise TypeError(
+                        f"scan literal for {c!r} must be str, got "
+                        f"{type(v).__name__}")
+            elif op == "in":
+                v = tuple(v)
+                if not v or not all(isinstance(x, str) for x in v):
+                    raise TypeError(
+                        f"'in' literal for {c!r} must be a non-empty "
+                        f"collection of str")
+            elif op == "between":
+                lo, hi = v
+                if not (isinstance(lo, str) and isinstance(hi, str)):
+                    raise TypeError(
+                        f"'between' bounds for {c!r} must be str")
+                v = (lo, hi)
+            else:
+                raise ValueError(
+                    f"unsupported scan op {op!r}; use = < <= > >= in "
+                    f"between")
+            conj.append((c, op, v))
+        return conj
+
+    @staticmethod
+    def _scan_filter_expr(c: str, op: str, v):
+        col = F.col(c)
+        if op == "=":
+            return col == F.lit(v)
+        if op == "<":
+            return col < F.lit(v)
+        if op == "<=":
+            return col <= F.lit(v)
+        if op == ">":
+            return col > F.lit(v)
+        if op == ">=":
+            return col >= F.lit(v)
+        if op == "in":
+            return col.isin(list(v))
+        lo, hi = v
+        return (col >= F.lit(lo)) & (col <= F.lit(hi))
+
+    @staticmethod
+    def _zone_bucket_excluded(st: dict, segs: list[str], conj) -> bool:
+        """True iff SOME conjunct provably matches no value in ANY of
+        the bucket's segments. Safe on UNCOMPACTED buckets too: cell
+        resolution is per-column LWW, so every resolved non-null cell
+        value equals some segment's stored value — if no segment can
+        hold a matching value for a null-rejecting conjunct, no
+        resolved row in the bucket can match it. Tombstones only
+        remove rows, and TTL expiry only nulls values, so both keep
+        the proof conservative. A segment without a stats entry for
+        the filtered column (legacy, foreign writer, capture failure)
+        makes the bucket unprunable on that conjunct — never wrong."""
+        zone = st.get("stats") or {}
+        for c, op, v in conj:
+            excluded = True
+            for s in segs:
+                e = zone.get(s)
+                if e is None:
+                    excluded = False
+                    break
+                if c not in e:
+                    if c not in e.get(ZONE_SCHEMA_KEY, (c,)):
+                        continue  # absent from the file schema: all-null
+                    excluded = False  # in the file but stats unusable
+                    break
+                lo, hi = e[c]
+                if _zone_may_match(lo, hi, op, v):
+                    excluded = False
+                    break
+            if excluded:
+                return True
+        return False
+
+    def scan(self, filters, as_of_ms: int | None = None,
+             version: int | None = None, prune: bool = True,
+             info: dict | None = None) -> DataFrame:
+        """Filtered table scan with ZONE-MAP data skipping: prune whole
+        buckets whose per-segment min/max stats (captured free from the
+        parquet footers at every merge/compact/rebucket write —
+        ``stats`` in the per-bucket manifests) prove no row can match,
+        then read only the surviving buckets with the residual
+        predicate applied (on compacted buckets it reaches the parquet
+        scan as PushedFilters; bases are pk-sorted so key-column
+        conjuncts additionally skip row groups inside a bucket). A
+        selective predicate on a 10^5-bucket table opens O(matching
+        buckets) manifests+files instead of the whole table — the
+        Iceberg/Delta file-skipping analogue at this sink's grain.
+
+        ``filters``: list of ``(column, op, value)`` conjuncts, ops
+        ``= < <= > >= in between`` over pk/value columns (AND
+        semantics). Pruning is conservative: segments without stats
+        for a column are never skipped; correctness never depends on
+        stats (``prune=False`` is the always-full-read control).
+        ``info`` (optional dict) receives pruning telemetry. Planning
+        and reading share ONE root load, so a concurrent commit cannot
+        straddle them."""
+        root = self._load_root(version)
+        conj = self._parse_scan_filters(filters, root)
+        keep: list[int] = []
+        pruned = 0
+        total = 0
+        for b, e in root["bucket_index"].items():
+            st = self._bucket_state(e)
+            segs = list(st.get("segs", []))
+            if not segs:
+                continue  # tombstone-only bucket: no rows to produce
+            total += 1
+            if prune and conj and self._zone_bucket_excluded(
+                    st, segs, conj):
+                pruned += 1
+                continue
+            keep.append(int(b))
+        if info is not None:
+            info.update({"total_buckets": total, "kept_buckets": len(keep),
+                         "pruned_buckets": pruned,
+                         "version": int(root["version"])})
+        df = self.read(as_of_ms=as_of_ms, buckets=keep, _root=root)
+        for c, op, v in conj:
+            df = df.where(self._scan_filter_expr(c, op, v))
+        return df
 
     def lookup(self, partition_key, clustering=None,
                as_of_ms: int | None = None,
@@ -1263,6 +1415,14 @@ class ParquetMergeSink:
             b: _parquet_rows(os.path.join(self.path, p))
             for b, p in tomb_new.items()
         }
+        # zone-map stats of the staged delta segments (same footers,
+        # same moment): scan() prunes buckets on value-column predicates
+        # with these; capture cost is O(touched files) driver metadata
+        zone_cols = pk + value_cols
+        delta_zone = {
+            b: _seg_zone_stats(os.path.join(self.path, p), zone_cols)
+            for b, p in row_new.items()
+        }
         touched = sorted(int(b) for b in row_new)
 
         # checkpoint state transported via the sidecar: read the
@@ -1306,11 +1466,20 @@ class ParquetMergeSink:
                     "tomb_segs": list(prev.get("tomb_segs", [])),
                     "tomb_rows": int(prev.get("tomb_rows") or 0),
                 }
+                zone = dict(prev.get("stats") or {})
                 if b in row_new:
                     st["segs"].append(row_new[b])
+                    zs = delta_zone.get(b)
+                    if zs:
+                        zone[row_new[b]] = zs
                 if b in tomb_new:
                     st["tomb_segs"].append(tomb_new[b])
                     st["tomb_rows"] += tomb_rows_new[b]
+                # keyed by segment path so a compaction rebase can drop
+                # exactly the replaced segments' entries; kept only for
+                # live segments (write-once files: entries never go stale)
+                st["stats"] = {k: s for k, s in zone.items()
+                               if k in st["segs"]}
                 new_index[b] = self._write_bucket_meta(b, st, v)
             return {
                 "version": v,
@@ -1555,6 +1724,11 @@ class ParquetMergeSink:
             for d in sorted(os.listdir(staging)):
                 if d.startswith(BUCKET_COL + "="):
                     written[d.split("=", 1)[1]] = os.path.join(rel_out, d)
+        zone_cols = list(self.table.primary_key) + root["value_columns"]
+        base_zone = {
+            b: _seg_zone_stats(os.path.join(self.path, p), zone_cols)
+            for b, p in written.items()
+        }
 
         # ---- commit: rebase against the CURRENT root under the lock.
         # Per bucket, the read set is replaced by the new base; segments
@@ -1596,9 +1770,16 @@ class ParquetMergeSink:
                         new_index.pop(b, None)
                         updated.append(b)
                     continue
+                # zone maps: the new base's freshly-captured stats plus
+                # the carried entries of post-read deltas that survive
+                # as segments over it
+                prev_zone = cur_st.get("stats") or {}
+                zone = {s: prev_zone[s] for s in segs if s in prev_zone}
+                if b in written and base_zone.get(b):
+                    zone[written[b]] = base_zone[b]
                 new_index[b] = self._write_bucket_meta(
                     b, {"segs": segs, "tomb_segs": tomb_segs,
-                        "tomb_rows": tomb_rows}, v,
+                        "tomb_rows": tomb_rows, "stats": zone}, v,
                 )
                 updated.append(b)
             if not updated:
@@ -1711,6 +1892,13 @@ class ParquetMergeSink:
                         if d.startswith(BUCKET_COL + "="):
                             written[d.split("=", 1)[1]] = os.path.join(
                                 rel_out, d)
+            reb_zone_cols = (list(self.table.primary_key)
+                             + root["value_columns"])
+            reb_zone = {
+                b: _seg_zone_stats(os.path.join(self.path, p),
+                                   reb_zone_cols)
+                for b, p in written.items()
+            }
 
             def _build(cur: dict) -> dict | None:
                 if int(cur.get("num_buckets", old_nb)) != old_nb:
@@ -1727,7 +1915,9 @@ class ParquetMergeSink:
                 new_index = {
                     b: self._write_bucket_meta(
                         b, {"segs": [rel], "tomb_segs": [],
-                            "tomb_rows": 0}, v)
+                            "tomb_rows": 0,
+                            "stats": ({rel: reb_zone[b]}
+                                      if reb_zone.get(b) else {})}, v)
                     for b, rel in written.items()
                 }
                 # plain dict (not derived from cur's sharded view):
@@ -2111,6 +2301,139 @@ def _parquet_rows(d: str) -> int:
         )
     except Exception:
         return 0
+
+
+# ---------------------------------------------------------------------
+# zone maps: per-segment column min/max for data skipping (scan())
+# ---------------------------------------------------------------------
+ZONE_TRUNC = 64  # stored-bound length cap: manifests stay small even
+                 # when a value column carries multi-KB documents
+ZONE_SCHEMA_KEY = "__schema__"  # reserved: the segment files' leaf
+                                # names (schema-evolution pruning)
+
+
+def _zone_upper(s: str) -> str | None:
+    """Smallest storable string >= ``s`` within ZONE_TRUNC chars —
+    parquet-mr's truncate-and-increment: keep a prefix and bump its
+    last bumpable code point (skipping the surrogate range, which JSON
+    cannot carry). None = no valid bound at this length (absurd input:
+    a prefix of all U+10FFFF) -> caller records 'unknown'."""
+    if len(s) <= ZONE_TRUNC:
+        return s
+    p = s[:ZONE_TRUNC]
+    for i in range(len(p) - 1, -1, -1):
+        o = ord(p[i])
+        if o >= 0x10FFFF:
+            continue
+        nxt = 0xE000 if 0xD800 <= o + 1 <= 0xDFFF else o + 1
+        return p[:i] + chr(nxt)
+    return None
+
+
+def _seg_zone_stats(d: str, cols: list[str]) -> dict:
+    """Zone-map stats for one just-written segment directory, read from
+    the parquet footers the writer already produced — driver-side, no
+    Spark job, O(files) metadata reads on files still hot in page cache.
+
+    Returns ``{col: [lo, hi]}`` where [lo, hi] bound every non-null
+    value of ``col`` across the segment ([None, None] = provably no
+    non-null values, e.g. the column predates this segment's schema);
+    a MISSING key means unknown — scan() never prunes on it. Stats are
+    an optimization only, so any failure (foreign writer, disabled
+    footer stats, non-string leaf) degrades to unknown, never to a
+    wrong bound."""
+    try:
+        import pyarrow.parquet as pq
+
+        agg: dict = {c: [None, None] for c in cols}
+        unknown: set = set()
+        schema_names: set = set()
+        files = glob.glob(os.path.join(glob.escape(d), "*.parquet"))
+        if not files:
+            return {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            leaf = {
+                md.schema.column(i).path: i
+                for i in range(md.num_columns)
+            }
+            schema_names.update(leaf)
+            for c in cols:
+                if c in unknown:
+                    continue
+                idx = leaf.get(c)
+                if idx is None:
+                    continue  # column absent from file: all-null here
+                for rg in range(md.num_row_groups):
+                    cc = md.row_group(rg).column(idx)
+                    st = cc.statistics
+                    if st is None:
+                        unknown.add(c)
+                        break
+                    if st.has_null_count and st.null_count == cc.num_values:
+                        continue  # all-null chunk contributes nothing
+                    if not st.has_min_max:
+                        unknown.add(c)
+                        break
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8")
+                        mx = mx.decode("utf-8")
+                    if not isinstance(mn, str) or not isinstance(mx, str):
+                        unknown.add(c)  # string zone maps only
+                        break
+                    cur = agg[c]
+                    if cur[0] is None or mn < cur[0]:
+                        cur[0] = mn
+                    if cur[1] is None or mx > cur[1]:
+                        cur[1] = mx
+        out = {}
+        for c, (lo, hi) in agg.items():
+            if c in unknown:
+                continue
+            if lo is None:
+                out[c] = [None, None]
+                continue
+            up = _zone_upper(hi)
+            if up is None:
+                continue
+            out[c] = [lo[:ZONE_TRUNC], up]
+        # the files' leaf names: a column added by a LATER schema
+        # evolution is provably all-null in this segment (absent from
+        # the file schema entirely), so scan() can prune pre-evolution
+        # segments on a new-column predicate even though the column
+        # could not be requested when these stats were cut
+        out[ZONE_SCHEMA_KEY] = sorted(
+            n for n in schema_names if "." not in n)
+        return out
+    except Exception:
+        return {}  # stats are advisory; unknown disables pruning only
+
+
+def _zone_may_match(lo, hi, op: str, v) -> bool:
+    """May any value in [lo, hi] satisfy ``<value> <op> v``? ``lo`` is a
+    valid LOWER bound (<= true min) and ``hi`` a valid UPPER bound
+    (>= true max) — possibly truncated — so every check below stays
+    conservative: False is a proof of no match, True is 'cannot rule
+    out'."""
+    if lo is None and hi is None:
+        return False  # provably no non-null values; ops are null-rejecting
+    if op == "=":
+        return lo <= v <= hi
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    if op == ">=":
+        return hi >= v
+    if op == "in":
+        return any(lo <= x <= hi for x in v)
+    if op == "between":
+        vlo, vhi = v
+        return hi >= vlo and lo <= vhi
+    raise ValueError(f"unsupported zone-map op {op!r}")
 
 
 def list_view(map_col) -> "F.Column":
