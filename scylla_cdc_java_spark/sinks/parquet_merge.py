@@ -191,6 +191,7 @@ class ParquetMergeSink:
         lock_timeout_s: float = 60.0,
         commit_backend: "CommitBackend | None" = None,
         index_fold_deltas: int = DEFAULT_FOLD_DELTAS,
+        parquet_block_bytes: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -241,6 +242,12 @@ class ParquetMergeSink:
         # compact_threshold windows); <= 1 disables deltas entirely
         # (copy-on-write per window, the round-2 behavior)
         self.compact_threshold = max(int(compact_threshold), 1)
+        # parquet row-group size for compaction/rebucket base writes
+        # (None = writer default 128 MB). The row group is the unit of
+        # min/max skipping: at 100 TB tune it against the sort order so
+        # the hot filter column's ranges stay tight per group; tests
+        # shrink it to make multi-row-group files at small scale.
+        self.parquet_block_bytes = parquet_block_bytes
         os.makedirs(path, exist_ok=True)
 
     @classmethod
@@ -285,7 +292,8 @@ class ParquetMergeSink:
     def _lock_path(self) -> str:
         return os.path.join(self.path, "COMMIT.lock")
 
-    def _commit_under_lock(self, build, snapshot: bool = True) -> dict | None:
+    def _commit_under_lock(self, build, snapshot: bool = True,
+                           op: str | None = None) -> dict | None:
         """Serializable commit — acquire / REBASE / swap / release:
         under the pluggable ``commit_backend`` (see
         ``commit_backend.CommitBackend``: lockfile by default, catalog
@@ -304,7 +312,7 @@ class ParquetMergeSink:
             cur = self._load_root()
             new = build(cur)
             if new is not None:
-                self._commit(new, snapshot=snapshot)
+                self._commit(new, snapshot=snapshot, op=op)
             return new
 
     def snapshots(self) -> list[int]:
@@ -517,7 +525,8 @@ class ParquetMergeSink:
             }
             new["version"] = cur["version"] + 1
             return new
-        self._commit_under_lock(_build, snapshot=False)
+        self._commit_under_lock(_build, snapshot=False,
+                                op="migrate_checkpoint")
         return self.checkpoint(shard=shard)
 
     def _merge_shard_checkpoint(self, cur: dict, checkpoint: dict | None,
@@ -557,7 +566,56 @@ class ParquetMergeSink:
             "done": all(bool((s or {}).get("done")) for s in shards.values()),
         }
 
-    def _commit(self, manifest: dict, snapshot: bool = True) -> None:
+    def history(self) -> list[dict]:
+        """Commit log of the retained snapshots plus the current root,
+        newest first (Delta ``DESCRIBE HISTORY`` / Iceberg snapshot-log
+        parity): version, wall-clock ``committed_at_ms``, the operation
+        that produced it, and the schema/layout knobs that matter for
+        reading it. Driver-side metadata only — O(retained snapshots)
+        small JSON loads, no Spark job. Legacy commits (pre round-5)
+        carry no stamp and report ``committed_at_ms=None``."""
+        seen = {}
+        for v in self.snapshots():
+            try:
+                m = self._load_root(version=v)
+            except FileNotFoundError:
+                continue  # vacuumed between listing and load
+            seen[int(m["version"])] = m
+        cur = self._load_root()
+        seen[int(cur["version"])] = cur
+        return [
+            {
+                "version": v,
+                "committed_at_ms": m.get("committed_at_ms"),
+                "operation": m.get("operation"),
+                "num_buckets": m.get("num_buckets"),
+                "sort_order": m.get("sort_order") or [],
+                "value_columns": list(m.get("value_columns", [])),
+                "collection_columns": list(m.get("collection_columns", [])),
+            }
+            for v, m in sorted(seen.items(), reverse=True)
+        ]
+
+    def version_as_of(self, ts_ms: int) -> int:
+        """Largest committed snapshot version whose commit landed at or
+        before ``ts_ms`` — timestamp time travel:
+        ``sink.read(version=sink.version_as_of(t))``. Raises if every
+        retained snapshot is newer (vacuumed past ``ts_ms``) or carries
+        no commit stamp (legacy)."""
+        best = None
+        for h in self.history():
+            t = h["committed_at_ms"]
+            if t is not None and t <= ts_ms:
+                best = h["version"] if best is None else max(best, h["version"])
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts_ms}; "
+                f"history spans "
+                f"{[h['committed_at_ms'] for h in self.history()]}")
+        return best
+
+    def _commit(self, manifest: dict, snapshot: bool = True,
+                op: str | None = None) -> None:
         # Encode the bucket index SHARDED (bucket_index module): flush
         # this commit's touched entries as one immutable O(touched)
         # delta file and embed only the descriptor in the root, so the
@@ -580,6 +638,14 @@ class ParquetMergeSink:
             desc = obj.descriptor()
             manifest["bucket_index"] = obj  # callers keep a live view
         manifest = {**manifest, "bucket_index": desc}
+        # commit metadata: wall-clock stamp + operation kind power
+        # history() and version_as_of() (Delta DESCRIBE HISTORY / Iceberg
+        # snapshot-log parity). Stamped unconditionally so a rollback —
+        # which copies an OLD snapshot's dict — records its own moment,
+        # not the restored snapshot's.
+        manifest["committed_at_ms"] = int(time.time() * 1000)
+        if op is not None:
+            manifest["operation"] = op
         # immutable snapshot first (enables time travel / snapshot GC),
         # then the atomic current-pointer swap. ``snapshot=False`` skips
         # the immutable copy — used for checkpoint-only commits (idle
@@ -1500,9 +1566,15 @@ class ParquetMergeSink:
                 },
                 "num_buckets": nb,
                 "salt_buckets": self.salt_buckets,
+                # the merge root is built explicitly (not copied from
+                # cur), so persisted sort-order evolution must be
+                # carried or the first merge after a sorted compaction
+                # would silently reset the table's clustering
+                **({"sort_order": cur["sort_order"]}
+                   if cur.get("sort_order") else {}),
             }
 
-        new_root = self._commit_under_lock(_build)
+        new_root = self._commit_under_lock(_build, op="merge")
         version = new_root["version"]
         new_index = new_root["bucket_index"]
         stats = {
@@ -1647,7 +1719,8 @@ class ParquetMergeSink:
 
     # ------------------------------------------------------------------
     def compact(self, buckets: list[int] | None = None,
-                expire_before_ms: int | None = None) -> dict:
+                expire_before_ms: int | None = None,
+                sort_by: list[str] | None = None) -> dict:
         """Collapse each selected bucket (default: every bucket with
         multiple row segments or any tombstone sidecar) to ONE resolved
         base segment, folding its accumulated sidecar tombstones into
@@ -1656,9 +1729,32 @@ class ParquetMergeSink:
         and its compaction it shadows by timestamp (oracle semantics);
         after folding, its effect lives in each covered row's
         ``_ts_tomb``. Atomic: same manifest-swap commit; crash loses
-        only the compaction work, never table state."""
+        only the compaction work, never table state.
+
+        ``sort_by`` — SORT-ORDER EVOLUTION (Iceberg SortOrder analogue):
+        cluster each base by these value/pk columns (pk appended as
+        tiebreak) instead of the default pk sort, and PERSIST the order
+        in the root so later compactions/rebuckets inherit it. Why it
+        matters at 100 TB: bucket-level zone maps cannot prune a dense
+        column that hash-bucketing decorrelates from the partition key
+        (every bucket contains every value) — but a bucket there is
+        many parquet row groups, and clustering by the hot filter
+        column makes each row group's min/max a tight disjoint range,
+        so the pushed residual filter of ``scan()`` skips row groups
+        INSIDE every bucket. Trade-off (document per workload): pk
+        row-group locality loosens, so ``lookup()`` reads more row
+        groups within its one bucket. ``sort_by=[]`` explicitly resets
+        to the pk default."""
         t0 = time.time()
         root = self._load_root()
+        order = (sort_by if sort_by is not None
+                 else root.get("sort_order") or [])
+        bad = [c for c in order
+               if c not in self.table.primary_key
+               and c not in root["value_columns"]]
+        if bad:
+            raise ValueError(
+                f"sort_by columns {bad} not in pk/value columns")
         if buckets is None:
             csel = {
                 b for b, e in root["bucket_index"].items()
@@ -1697,7 +1793,7 @@ class ParquetMergeSink:
         staging = os.path.join(self.path, rel_out)
         n_parts = max(len(csel) * min(self.salt_buckets, 4), 1)
         ck_cols = [F.col(c) for c in self.table.clustering_key]
-        (
+        w = (
             resolved.withColumn(BUCKET_COL, self._bucket_expr())
             .withColumn(
                 "__salt",
@@ -1705,20 +1801,25 @@ class ParquetMergeSink:
             )
             .repartition(n_parts, F.col(BUCKET_COL), F.col("__salt"))
             .drop("__salt")
-            # pk-sorted base segments: parquet row-group min/max stats
-            # on the key columns become tight disjoint ranges, so the
-            # serving lookup path (``lookup()`` pushes pk equality into
-            # the scan) and clustering-range reads skip row groups
-            # INSIDE the one bucket they open; sorted keys also
-            # compress better. Cost is a per-task sort at compaction
+            # sorted base segments: parquet row-group min/max stats on
+            # the leading sort columns become tight disjoint ranges, so
+            # reads skip row groups INSIDE the one bucket they open —
+            # by default pk-sorted (``lookup()`` pushes pk equality
+            # into the scan; clustering-range reads prune; sorted keys
+            # compress better); with a persisted ``sort_by`` order the
+            # hot filter column leads and ``scan()``'s residual filter
+            # skips instead. Cost is a per-task sort at compaction
             # time — amortized over every read until the next compact.
             .sortWithinPartitions(
-                F.col(BUCKET_COL), *[F.col(c) for c in self.table.primary_key]
+                F.col(BUCKET_COL),
+                *[F.col(c) for c in order],
+                *[F.col(c) for c in self.table.primary_key],
             )
             .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(staging)
         )
+        if self.parquet_block_bytes:
+            w = w.option("parquet.block.size", self.parquet_block_bytes)
+        w.partitionBy(BUCKET_COL).parquet(staging)
         written: dict[str, str] = {}
         if os.path.exists(staging):
             for d in sorted(os.listdir(staging)):
@@ -1787,9 +1888,14 @@ class ParquetMergeSink:
             new_root = {k: x for k, x in cur.items() if k != "bucket_index"}
             new_root["version"] = v
             new_root["bucket_index"] = new_index
+            if sort_by is not None:
+                # sort-order evolution: persist so later compactions /
+                # rebuckets (incl. external compactor processes reading
+                # the manifest) inherit the clustering
+                new_root["sort_order"] = list(sort_by)
             return new_root
 
-        committed = self._commit_under_lock(_build)
+        committed = self._commit_under_lock(_build, op="compact")
         done = sorted(updated) if committed else []
         return {"compacted": done, "compact_s": time.time() - t0}
 
@@ -1868,7 +1974,8 @@ class ParquetMergeSink:
                 n_parts = max(
                     1, min(new_nb * min(self.salt_buckets, 4), 8192))
                 ck_cols = [F.col(c) for c in self.table.clustering_key]
-                (
+                order = root.get("sort_order") or []
+                w = (
                     resolved.withColumn(BUCKET_COL,
                                         self._bucket_expr(new_nb))
                     .withColumn(
@@ -1881,12 +1988,15 @@ class ParquetMergeSink:
                     .drop("__salt")
                     .sortWithinPartitions(
                         F.col(BUCKET_COL),
+                        *[F.col(c) for c in order],
                         *[F.col(c) for c in self.table.primary_key],
                     )
                     .write.mode("overwrite")
-                    .partitionBy(BUCKET_COL)
-                    .parquet(staging)
                 )
+                if self.parquet_block_bytes:
+                    w = w.option("parquet.block.size",
+                                 self.parquet_block_bytes)
+                w.partitionBy(BUCKET_COL).parquet(staging)
                 if os.path.exists(staging):
                     for d in sorted(os.listdir(staging)):
                         if d.startswith(BUCKET_COL + "="):
@@ -1932,7 +2042,7 @@ class ParquetMergeSink:
                 new_root["num_buckets"] = new_nb
                 return new_root
 
-            committed = self._commit_under_lock(_build)
+            committed = self._commit_under_lock(_build, op="rebucket")
             if committed is not None:
                 self.num_buckets = new_nb
                 return {
@@ -1968,7 +2078,7 @@ class ParquetMergeSink:
             m["version"] = cur["version"] + 1
             return m
 
-        m = self._commit_under_lock(_build)
+        m = self._commit_under_lock(_build, op="rollback")
         # the restored snapshot may predate a rebucket: follow its
         # routing so this instance's next stage matches what it commits
         self.num_buckets = int(m.get("num_buckets", self.num_buckets))
@@ -1990,7 +2100,8 @@ class ParquetMergeSink:
                 cur, checkpoint, shard)
             return m
 
-        m = self._commit_under_lock(_build, snapshot=False)
+        m = self._commit_under_lock(_build, snapshot=False,
+                                    op="checkpoint")
         return {"touched_buckets": [], "version": m["version"],
                 "delta_rows": 0, "merge_s": 0.0, "skipped": True}
 

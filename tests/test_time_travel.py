@@ -189,3 +189,50 @@ def test_rollback_then_replay_reconverges(spark, tmp_root):
         (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
         for r in eng2.sink.read().collect()
     ) == want
+
+
+def test_history_and_timestamp_time_travel(spark, tmp_root):
+    """Every commit stamps wall-clock time + operation; history() lists
+    them newest-first and version_as_of(ts) resolves timestamp time
+    travel to the snapshot that was current at that instant."""
+    import time as _time
+
+    table = TableConfig()
+    sink = ParquetMergeSink(spark, f"{tmp_root}/hist_target", table,
+                            num_buckets=4)
+    ins = {"op": OP_ROW_INSERT, "path": "p", "commit": "c", "lang": "l"}
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 10, "seq": 0, "repo": "o/r1", "content": "v1"},
+    ]), table), {"step": 1})
+    t_between = int(_time.time() * 1000)
+    _time.sleep(0.02)
+    sink.merge(fold_batch(_batch(spark, [
+        {**ins, "ms": 20, "seq": 0, "repo": "o/r1", "content": "v2"},
+    ]), table), {"step": 2})
+    sink.compact(buckets=[0, 1, 2, 3])
+
+    h = sink.history()
+    assert [x["version"] for x in h] == sorted(
+        (x["version"] for x in h), reverse=True)
+    ops = {x["version"]: x["operation"] for x in h}
+    assert "merge" in ops.values() and "compact" in ops.values()
+    stamps = [x["committed_at_ms"] for x in h]
+    assert all(isinstance(t, int) for t in stamps)
+    assert stamps == sorted(stamps, reverse=True)
+
+    v = sink.version_as_of(t_between)
+    rows = sink.read(version=v).collect()
+    assert [r["content"] for r in rows] == ["v1"]
+    # "now" resolves to the current snapshot's content
+    v_now = sink.version_as_of(int(_time.time() * 1000))
+    assert [r["content"]
+            for r in sink.read(version=v_now).collect()] == ["v2"]
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        sink.version_as_of(t_between - 10_000_000)
+
+    # rollback stamps its own moment, not the restored snapshot's
+    first_v = min(x["version"] for x in h)
+    sink.rollback(first_v)
+    h2 = sink.history()
+    assert h2[0]["operation"] == "rollback"
+    assert h2[0]["committed_at_ms"] >= stamps[0]
