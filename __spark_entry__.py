@@ -1243,11 +1243,11 @@ def q_rebucket_online(spark, sf_dir):
     n = [0]
     orig = eng.sink._commit_under_lock
 
-    def wrapper(build, snapshot=True):
+    def wrapper(build, snapshot=True, **kw):
         n[0] += 1
         if n[0] == 3:
             ParquetMergeSink.for_existing(spark, target).rebucket(24)
-        return orig(build, snapshot=snapshot)
+        return orig(build, snapshot=snapshot, **kw)
 
     eng.sink._commit_under_lock = wrapper
     eng.replay()

@@ -71,12 +71,12 @@ def _hook_before_commit(sink, action):
     orig = sink._commit_under_lock
     fired = [False]
 
-    def wrapper(build, snapshot=True):
+    def wrapper(build, snapshot=True, **kw):
         if not fired[0]:
             fired[0] = True
             action()
         sink._commit_under_lock = orig
-        return orig(build, snapshot=snapshot)
+        return orig(build, snapshot=snapshot, **kw)
 
     sink._commit_under_lock = wrapper
 

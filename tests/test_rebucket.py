@@ -89,12 +89,12 @@ def _hook_before_commit(sink, action):
     orig = sink._commit_under_lock
     fired = [False]
 
-    def wrapper(build, snapshot=True):
+    def wrapper(build, snapshot=True, **kw):
         if not fired[0]:
             fired[0] = True
             action()
         sink._commit_under_lock = orig
-        return orig(build, snapshot=snapshot)
+        return orig(build, snapshot=snapshot, **kw)
 
     sink._commit_under_lock = wrapper
 
@@ -246,14 +246,14 @@ def test_rebucket_exhausted_retries_raises(spark, tmp_root):
 
     orig = sink._commit_under_lock
 
-    def always_race(build, snapshot=True):
+    def always_race(build, snapshot=True, **kw):
         n[0] += 1
         other.merge(fold_batch(_batch(spark, [
             {"op": OP_ROW_INSERT, "ms": 600 + n[0], "seq": 0,
              "repo": f"o/x{n[0]}", "path": "x.py", "commit": "c",
              "lang": "py", "content": "X"},
         ]), table), {"s": 10 + n[0]})
-        return orig(build, snapshot=snapshot)
+        return orig(build, snapshot=snapshot, **kw)
 
     sink._commit_under_lock = always_race
     with pytest.raises(RuntimeError, match="rebucket"):
@@ -324,13 +324,13 @@ def test_engine_world_rebucket_midway_matches_oracle(spark, tmp_root):
     n_merges = [0]
     orig = eng.sink._commit_under_lock
 
-    def wrapper(build, snapshot=True):
+    def wrapper(build, snapshot=True, **kw):
         n_merges[0] += 1
         if n_merges[0] == 3:
             ext = ParquetMergeSink.for_existing(spark,
                                                 f"{tmp_root}/rbk_target")
             ext.rebucket(24)
-        return orig(build, snapshot=snapshot)
+        return orig(build, snapshot=snapshot, **kw)
 
     eng.sink._commit_under_lock = wrapper
     eng.replay()

@@ -151,6 +151,71 @@ def main() -> None:
         assert n_dense == n_dense_full
         report["dense_rows"] = n_dense
 
+        # ---- 4. sort-order evolution: row-group skipping INSIDE buckets
+        # The dense column's fix is clustering, not bucket pruning:
+        # rewrite the bases lang-led with small row groups, then count
+        # (driver-side, from the same footers the reader's predicate
+        # pushdown consults) how many row groups a lang='py' scan must
+        # open under each layout. Physical, deterministic evidence —
+        # timing at this table size is all fixed job overhead.
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        def _rg_hits(col, lo, hi):
+            root = eng.sink._load_root()
+            total = hit = 0
+            for b, e in root["bucket_index"].items():
+                st = eng.sink._bucket_state(e)
+                for seg in st["segs"]:
+                    for f in _glob.glob(os.path.join(_glob.escape(
+                            os.path.join(eng.sink.path, seg)),
+                            "*.parquet")):
+                        md = _pq.ParquetFile(f).metadata
+                        idx = next(
+                            i for i in range(md.num_columns)
+                            if md.schema.column(i).path == col)
+                        for rg in range(md.num_row_groups):
+                            cc = md.row_group(rg).column(idx)
+                            s = cc.statistics
+                            total += 1
+                            if (s is not None and s.has_null_count
+                                    and s.null_count == cc.num_values):
+                                continue  # all-null group: the pushed
+                                # equality implies IsNotNull, which the
+                                # reader skips via null_count alone
+                            if (s is None or not s.has_min_max
+                                    or s.min is None):
+                                hit += 1  # no stats: reader must open
+                            elif s.max >= lo and s.min <= hi:
+                                hit += 1
+            return hit, total
+
+        # scaled-down proxy: at 100 TB a bucket base is GBs — dozens of
+        # 128 MB row groups per file; here we shrink the group (32 KB)
+        # AND write one file per bucket (salt slicing is a write-skew
+        # guard; it would fragment this small table into 1-2-group
+        # files, and skipping cannot go below one group per file) so
+        # groups-per-file stays realistic. The skip RATIO is the
+        # scale-invariant quantity.
+        eng.sink.parquet_block_bytes = 32 * 1024
+        eng.sink.salt_buckets = 1
+        t0 = time.time()
+        eng.sink.compact(buckets=list(range(NUM_BUCKETS)))  # pk default
+        report["recompact_default_s"] = round(time.time() - t0, 2)
+        hit_d, tot_d = _rg_hits("lang", "py", "py")
+        t0 = time.time()
+        eng.sink.compact(buckets=list(range(NUM_BUCKETS)),
+                         sort_by=["lang"])
+        report["recompact_sorted_s"] = round(time.time() - t0, 2)
+        hit_s, tot_s = _rg_hits("lang", "py", "py")
+        n_sorted = eng.sink.scan(dense).count()
+        assert n_sorted == n_dense, (n_sorted, n_dense)
+        report["rowgroups_matching_default"] = [hit_d, tot_d]
+        report["rowgroups_matching_lang_sorted"] = [hit_s, tot_s]
+        report["rowgroup_skip_ratio_sorted_over_default"] = round(
+            (hit_d / tot_d) / max(hit_s / tot_s, 1e-9), 1)
+
         report["steal_s"] = round(_steal_s() - s0, 1)
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
