@@ -736,6 +736,59 @@ def q_scan_pruned(spark, sf_dir):
     return _digest_agg(df, line)
 
 
+def _entry_bloom_spec():
+    """World for the bloom-skipping scan contract entry."""
+    import dataclasses
+
+    return dataclasses.replace(_entry_spec(), seed=70, n_events=3000,
+                               ttl_fraction=0.0)
+
+
+def _bloom_scan_filters():
+    """Equality conjunct on an EXISTING commit sha — derived from the
+    pure-Python oracle so both contract sides compute it independently
+    (sinks/bloom.py: zone maps cannot bound uniform hex, so this is
+    the bloom tier's own case)."""
+    from scylla_cdc_java_spark.datapipe import golden as G
+
+    lit = G.golden_min_value(_entry_bloom_spec(), "commit")
+    return (("commit", "=", lit),)
+
+
+def q_scan_bloom(spark, sf_dir):
+    """Bloom-filter bucket skipping (``sinks/bloom.py``): replay a
+    deterministic world with per-segment blooms enabled on ``commit``
+    (captured by one bit_or aggregation per merge), then — WITHOUT
+    compacting, so pruning must hold across raw delta segments — scan
+    for one existing commit sha. Zone maps keep every bucket here
+    (random hex spans each bucket's [min,max]); the bloom probe
+    (driver-side pure-Python XXH64, parity with the JVM's xxhash64
+    pinned by tests/test_bloom.py) prunes to the handful of true
+    buckets. The oracle is the stats-free pure-Python golden filter,
+    so a digest match proves no false negative dropped a bucket."""
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.datapipe.golden import FIELD_SEP, NULL_SENTINEL
+
+    spec = _entry_bloom_spec()
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft_entry")
+    info = generate_to_dir(spec, base)
+    eng = Engine(
+        spark, info["log_dir"], info["generations_path"],
+        os.path.join(
+            base, f"target_bloom_{spec.cache_key()}_{ENTRY_TARGET_VERSION}"),
+        cfg=EngineConfig(window_length_limit_ms=30_000),
+    )
+    eng.sink.bloom_columns = ["commit"]
+    eng.replay()
+    df = eng.sink.scan([tuple(f) for f in _bloom_scan_filters()])
+    line = F.concat_ws(
+        FIELD_SEP, F.col("repo"), F.col("path"),
+        *[F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
+          for c in ("commit", "lang", "content")],
+    )
+    return _digest_agg(df, line)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental datapipe over the CDC-MAINTAINED table
     (datapipe/incremental.py): replay a deterministic world
@@ -1306,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_distinct_incremental": q_aggregate_distinct,
         "rebucket_online": q_rebucket_online,
         "scan_pruned": q_scan_pruned,
+        "scan_bloom": q_scan_bloom,
     }
 
 
@@ -1424,6 +1478,13 @@ def _golden_oracles() -> dict[str, str]:
             f"select cast({nsc} as bigint) as n_rows, "
             f"cast({scsum} as bigint) as state_sum, "
             f"cast({scxor} as bigint) as state_xor"
+        )
+        nbf, bfsum, bfxor = G.golden_scan_digest(
+            _entry_bloom_spec(), _bloom_scan_filters())
+        out["scan_bloom"] = (
+            f"select cast({nbf} as bigint) as n_rows, "
+            f"cast({bfsum} as bigint) as state_sum, "
+            f"cast({bfxor} as bigint) as state_xor"
         )
         from scylla_cdc_java_spark.model import TableConfig
 

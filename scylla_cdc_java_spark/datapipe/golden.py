@@ -367,6 +367,24 @@ def golden_cdc_digest(spec, table=None) -> tuple[int, str]:
     return (len(rows), *digest_lines(lines))
 
 
+def golden_min_value(spec, col: str, table=None) -> str | None:
+    """Lexicographic MIN non-null value of ``col`` in the oracle's
+    final state — a deterministic, data-dependent scan literal both
+    sides of a contract entry can derive independently (the
+    bloom-skipping entry filters on an EXISTING high-cardinality value;
+    a hardcoded literal would silently test the empty-result path)."""
+    from ..generator import generate_world
+    from ..model import DEFAULT_TABLE
+    from ..oracle import final_state, replay
+
+    table = table or DEFAULT_TABLE
+    world = generate_world(spec)
+    vals = [r.get(col) for r in final_state(replay(world["events"],
+                                                   table=table))]
+    vals = [v for v in vals if v is not None]
+    return min(vals) if vals else None
+
+
 def golden_scan_digest(spec, filters, table=None) -> tuple[int, int, int]:
     """Digest of the oracle's final state restricted to ``filters`` —
     the pure-Python mirror of ``sink.scan(filters)``'s zone-map-pruned

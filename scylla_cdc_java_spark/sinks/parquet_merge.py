@@ -104,6 +104,7 @@ idempotent under batch replay and under duplicate delta segments
 from __future__ import annotations
 
 import contextlib
+import functools
 import glob
 import json
 import os
@@ -133,6 +134,14 @@ from .bucket_index import (
     ShardedBucketIndex,
     atomic_write_json,
     copy_index,
+)
+from .bloom import (
+    BLOOM_KEY,
+    DEFAULT_BLOOM_BITS,
+    DEFAULT_BLOOM_HASHES,
+    encode_bitmap,
+    may_contain,
+    position_exprs,
 )
 from .commit_backend import CommitBackend, LockfileCommitBackend
 
@@ -192,6 +201,9 @@ class ParquetMergeSink:
         commit_backend: "CommitBackend | None" = None,
         index_fold_deltas: int = DEFAULT_FOLD_DELTAS,
         parquet_block_bytes: int | None = None,
+        bloom_columns: list[str] | None = None,
+        bloom_bits: int = DEFAULT_BLOOM_BITS,
+        bloom_hashes: int = DEFAULT_BLOOM_HASHES,
     ):
         self.spark = spark
         self.path = path
@@ -242,6 +254,20 @@ class ParquetMergeSink:
         # compact_threshold windows); <= 1 disables deltas entirely
         # (copy-on-write per window, the round-2 behavior)
         self.compact_threshold = max(int(compact_threshold), 1)
+        # bloom-filter bucket skipping (sinks/bloom.py): per-segment
+        # blooms over these columns are built at every merge/compact/
+        # rebucket write and probed by scan() on '='/'in' conjuncts —
+        # the pruning tier for high-cardinality uniform columns that
+        # zone maps cannot bound and that don't own the one persisted
+        # sort order. None = inherit the table's persisted config
+        # (external maintainers keep capturing what the writer
+        # enabled); [] = explicitly disable and strip the persisted
+        # config at the next commit.
+        self.bloom_columns = (
+            list(bloom_columns) if bloom_columns is not None else None
+        )
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_hashes = int(bloom_hashes)
         # parquet row-group size for compaction/rebucket base writes
         # (None = writer default 128 MB). The row group is the unit of
         # min/max skipping: at 100 TB tune it against the sort order so
@@ -1155,6 +1181,95 @@ class ParquetMergeSink:
         lo, hi = v
         return (col >= F.lit(lo)) & (col <= F.lit(hi))
 
+    def _bloom_cfg(self, root: dict) -> dict | None:
+        """Effective bloom config: the sink's explicit setting wins
+        (and [] disables), else the table's persisted one — so an
+        external compactor opened with ``for_existing`` keeps building
+        blooms for exactly the columns the writer enabled."""
+        if self.bloom_columns is not None:
+            if not self.bloom_columns:
+                return None
+            return {"columns": list(dict.fromkeys(self.bloom_columns)),
+                    "m": self.bloom_bits, "k": self.bloom_hashes}
+        cfg = root.get("bloom")
+        if (isinstance(cfg, dict) and cfg.get("columns")
+                and isinstance(cfg.get("m"), int)
+                and isinstance(cfg.get("k"), int)):
+            return cfg
+        return None
+
+    def _persist_bloom_cfg(self, new_root: dict, cfg: dict | None) -> None:
+        """Carry/strip the bloom config on a freshly-built root (merge
+        builds its root explicitly; compact/rebucket copy ``cur`` — in
+        both cases the sink's explicit [] must strip)."""
+        if cfg:
+            new_root["bloom"] = {"columns": list(cfg["columns"]),
+                                 "m": int(cfg["m"]), "k": int(cfg["k"])}
+        elif self.bloom_columns == []:
+            new_root.pop("bloom", None)
+
+    def _stage_bloom_stats(self, stage_dir: str,
+                           cfg: dict | None) -> dict[str, dict]:
+        """Per-bucket blooms of a just-staged segment tree
+        (``<stage_dir>/__bucket=<b>/*.parquet``) in ONE distributed
+        aggregation: k chained-xxhash64 positions per non-null value,
+        folded to 64-bit words by a map-side-partial ``bit_or`` grouped
+        on (bucket, column, word). The driver receives only the SET
+        words — O(touched buckets x m/64) worst case, metadata scale —
+        and packs them via ``bloom.encode_bitmap``. Columns absent from
+        the staged schema (pre-evolution segment) are skipped: the
+        zone-map ``__schema__`` leaf list already proves them all-null
+        there. Any failure degrades to 'no bloom' (advisory stats)."""
+        if not cfg or not os.path.exists(stage_dir):
+            return {}
+        m, k = int(cfg["m"]), int(cfg["k"])
+        try:
+            df = self.spark.read.parquet(stage_dir)
+            cols = [c for c in cfg["columns"] if c in df.columns]
+            if not cols:
+                return {}
+            parts = [
+                df.where(F.col(c).isNotNull()).select(
+                    F.col(BUCKET_COL).cast("string").alias("b"),
+                    F.lit(c).alias("c"),
+                    F.explode(F.array(*position_exprs(F.col(c), m, k))
+                              ).alias("p"),
+                )
+                for c in cols
+            ]
+            agg = (
+                functools.reduce(DataFrame.unionByName, parts)
+                .select(
+                    "b", "c",
+                    F.shiftright(F.col("p"), 6).cast("int").alias("w"),
+                    F.expr("shiftleft(1L, cast(pmod(p, 64) as int))"
+                           ).alias("bit"),
+                )
+                .groupBy("b", "c", "w")
+                .agg(F.expr("bit_or(bit)").alias("word"))
+            )
+            words: dict[str, dict[str, dict[int, int]]] = {}
+            for r in agg.toLocalIterator():
+                words.setdefault(r["b"], {}).setdefault(r["c"], {})[
+                    int(r["w"])] = int(r["word"])
+            return {
+                b: {c: encode_bitmap(ws, m, k) for c, ws in percol.items()}
+                for b, percol in words.items()
+            }
+        except Exception:
+            return {}
+
+    @staticmethod
+    def _graft_blooms(zone_by_bucket: dict, blooms: dict) -> None:
+        """Attach staged blooms under the reserved BLOOM_KEY of each
+        bucket's per-segment stats dict (in place) — the same dict the
+        manifest rebase paths already carry for zone maps, so blooms
+        survive merge appends, compact replaces, and rebucket rebuilds
+        with no further plumbing."""
+        for b, percol in blooms.items():
+            if percol:
+                zone_by_bucket.setdefault(b, {})[BLOOM_KEY] = percol
+
     @staticmethod
     def _zone_bucket_excluded(st: dict, segs: list[str], conj) -> bool:
         """True iff SOME conjunct provably matches no value in ANY of
@@ -1175,15 +1290,16 @@ class ParquetMergeSink:
                 if e is None:
                     excluded = False
                     break
-                if c not in e:
-                    if c not in e.get(ZONE_SCHEMA_KEY, (c,)):
-                        continue  # absent from the file schema: all-null
-                    excluded = False  # in the file but stats unusable
-                    break
-                lo, hi = e[c]
-                if _zone_may_match(lo, hi, op, v):
-                    excluded = False
-                    break
+                if c not in e.get(ZONE_SCHEMA_KEY, (c,)):
+                    continue  # absent from the file schema: all-null
+                if c in e:
+                    lo, hi = e[c]
+                    if not _zone_may_match(lo, hi, op, v):
+                        continue  # zone bounds exclude this segment
+                if _bloom_excluded(e.get(BLOOM_KEY), c, op, v):
+                    continue  # bloom proves v absent from this segment
+                excluded = False  # no stats tier can rule this seg out
+                break
             if excluded:
                 return True
         return False
@@ -1489,6 +1605,12 @@ class ParquetMergeSink:
             b: _seg_zone_stats(os.path.join(self.path, p), zone_cols)
             for b, p in row_new.items()
         }
+        # bloom-filter capture for equality skipping (sinks/bloom.py):
+        # one distributed bit_or aggregation over the staged delta —
+        # O(window) work, riding the same per-segment stats entries
+        bloom_cfg = self._bloom_cfg(root)
+        self._graft_blooms(
+            delta_zone, self._stage_bloom_stats(staging, bloom_cfg))
         touched = sorted(int(b) for b in row_new)
 
         # checkpoint state transported via the sidecar: read the
@@ -1547,7 +1669,7 @@ class ParquetMergeSink:
                 st["stats"] = {k: s for k, s in zone.items()
                                if k in st["segs"]}
                 new_index[b] = self._write_bucket_meta(b, st, v)
-            return {
+            out_root = {
                 "version": v,
                 "bucket_index": new_index,
                 "value_columns": list(dict.fromkeys(
@@ -1573,6 +1695,11 @@ class ParquetMergeSink:
                 **({"sort_order": cur["sort_order"]}
                    if cur.get("sort_order") else {}),
             }
+            # bloom config is table state like sort_order: the sink's
+            # explicit setting wins (incl. [] = strip), else carry the
+            # config persisted in the root being rebased onto
+            self._persist_bloom_cfg(out_root, self._bloom_cfg(cur))
+            return out_root
 
         new_root = self._commit_under_lock(_build, op="merge")
         version = new_root["version"]
@@ -1830,6 +1957,10 @@ class ParquetMergeSink:
             b: _seg_zone_stats(os.path.join(self.path, p), zone_cols)
             for b, p in written.items()
         }
+        # fresh bases get fresh blooms (the resolved rows are exactly
+        # what a scan can observe); post-read deltas keep their own
+        self._graft_blooms(base_zone, self._stage_bloom_stats(
+            staging, self._bloom_cfg(root)))
 
         # ---- commit: rebase against the CURRENT root under the lock.
         # Per bucket, the read set is replaced by the new base; segments
@@ -1893,6 +2024,7 @@ class ParquetMergeSink:
                 # rebuckets (incl. external compactor processes reading
                 # the manifest) inherit the clustering
                 new_root["sort_order"] = list(sort_by)
+            self._persist_bloom_cfg(new_root, self._bloom_cfg(cur))
             return new_root
 
         committed = self._commit_under_lock(_build, op="compact")
@@ -2009,6 +2141,8 @@ class ParquetMergeSink:
                                    reb_zone_cols)
                 for b, p in written.items()
             }
+            self._graft_blooms(reb_zone, self._stage_bloom_stats(
+                staging, self._bloom_cfg(root)))
 
             def _build(cur: dict) -> dict | None:
                 if int(cur.get("num_buckets", old_nb)) != old_nb:
@@ -2040,6 +2174,7 @@ class ParquetMergeSink:
                 new_root["version"] = v
                 new_root["bucket_index"] = new_index
                 new_root["num_buckets"] = new_nb
+                self._persist_bloom_cfg(new_root, self._bloom_cfg(cur))
                 return new_root
 
             committed = self._commit_under_lock(_build, op="rebucket")
@@ -2519,6 +2654,23 @@ def _seg_zone_stats(d: str, cols: list[str]) -> dict:
         return out
     except Exception:
         return {}  # stats are advisory; unknown disables pruning only
+
+
+def _bloom_excluded(blooms, c: str, op: str, v) -> bool:
+    """True iff the segment's bloom PROVES no value of column ``c``
+    equals the literal(s) — only '='/'in' are bloom-decidable; every
+    other op (and any missing/foreign spec, via ``may_contain``'s own
+    degradation) answers False = cannot rule out."""
+    if not isinstance(blooms, dict):
+        return False
+    spec = blooms.get(c)
+    if spec is None:
+        return False
+    if op == "=":
+        return not may_contain(spec, v)
+    if op == "in":
+        return all(not may_contain(spec, x) for x in v)
+    return False
 
 
 def _zone_may_match(lo, hi, op: str, v) -> bool:

@@ -21,6 +21,12 @@ just as deliberately, where they don't:
    pushdown. Hash bucketing decorrelates values from buckets BY
    DESIGN; row-level skipping for such predicates belongs to the
    row-group stats inside each file, not to bucket zone maps.
+3b. **dense high-cardinality equality** (the bloom tier's own case):
+   `scan(commit = <sha>)` — zone maps keep ~every bucket (uniform hex
+   spans each [min,max]) and a sha doesn't own the persisted sort
+   order; per-segment blooms (sinks/bloom.py) prune to the true
+   bucket(s). Capture cost = bloom-building compaction vs stage 1's
+   plain compaction.
 
 The sparse ratio grows with table size (control is O(table), pruned
 scan is O(matching buckets) + fixed job overhead) — the same
@@ -150,6 +156,34 @@ def main() -> None:
         report["dense_full_s"] = round(time.time() - t0, 2)
         assert n_dense == n_dense_full
         report["dense_rows"] = n_dense
+
+        # ---- 3b. bloom tier: dense HIGH-CARDINALITY equality ------------
+        # `commit = <sha>` is the case NEITHER prior tier touches: zone
+        # maps keep ~every bucket (uniform hex spans each bucket's
+        # [min,max]) and a random sha doesn't own the table's one
+        # persisted sort order. Per-segment blooms (sinks/bloom.py)
+        # prune to the true bucket(s) + ~2% FPR. Capture cost is the
+        # delta between this compaction and the plain one in stage 1
+        # (one extra bit_or aggregation over the rewritten bases).
+        eng.sink.bloom_columns = ["commit"]
+        t0 = time.time()
+        eng.sink.compact(buckets=list(range(NUM_BUCKETS)))
+        report["bloom_build_compact_s"] = round(time.time() - t0, 2)
+        sha = (eng.sink.read().where(F.col("commit").isNotNull())
+               .select("commit").first()["commit"])
+        bfilt = [("commit", "=", sha)]
+        inf3: dict = {}
+        t0 = time.time()
+        n_b = eng.sink.scan(bfilt, info=inf3).count()
+        report["bloom_pruned_s"] = round(time.time() - t0, 2)
+        report["bloom_pruning"] = inf3
+        t0 = time.time()
+        n_bf = eng.sink.scan(bfilt, prune=False).count()
+        report["bloom_full_s"] = round(time.time() - t0, 2)
+        assert n_b == n_bf, (n_b, n_bf)
+        report["bloom_rows"] = n_b
+        report["bloom_speedup"] = round(
+            report["bloom_full_s"] / max(report["bloom_pruned_s"], 1e-9), 1)
 
         # ---- 4. sort-order evolution: row-group skipping INSIDE buckets
         # The dense column's fix is clustering, not bucket pruning:
