@@ -245,6 +245,14 @@ class EngineConfig:
     # delta segments (amortized bucket-rewrite cost = 1/compact_threshold
     # per window); 1 = copy-on-write per window
     compact_threshold: int = 8
+    # LSM minor-compaction size ratio (ParquetMergeSink
+    # minor_compact_ratio): over-threshold buckets whose delta rows are
+    # <= base_rows * ratio fold deltas only, leaving the base
+    # untouched; 0 = always rewrite the bucket (pre-round-5 behavior)
+    minor_compact_ratio: float = 0.5
+    # bloom-filter bucket skipping on these value columns (sink
+    # bloom_columns; None inherits the table's persisted config)
+    bloom_columns: tuple | None = None
     # Opt-in adaptive window split: cap a fetch window's ESTIMATED event
     # count (parquet-footer row counts, proportional ms-overlap) in
     # addition to the reference's time cap. The epoch-0 backfill window

@@ -204,6 +204,7 @@ class ParquetMergeSink:
         bloom_columns: list[str] | None = None,
         bloom_bits: int = DEFAULT_BLOOM_BITS,
         bloom_hashes: int = DEFAULT_BLOOM_HASHES,
+        minor_compact_ratio: float = 0.5,
     ):
         self.spark = spark
         self.path = path
@@ -268,6 +269,14 @@ class ParquetMergeSink:
         )
         self.bloom_bits = int(bloom_bits)
         self.bloom_hashes = int(bloom_hashes)
+        # LSM-style compaction policy (see compact(minor=True)): when a
+        # bucket crosses compact_threshold, the piggyback folds ONLY
+        # its delta segments (leaving the base untouched) if their
+        # footer-counted rows are <= base_rows * this ratio AND there
+        # is no sidecar pressure; else it majors. 0 disables minor
+        # compaction entirely (every compaction rewrites the bucket —
+        # the pre-round-5 behavior).
+        self.minor_compact_ratio = float(minor_compact_ratio)
         # parquet row-group size for compaction/rebucket base writes
         # (None = writer default 128 MB). The row group is the unit of
         # min/max skipping: at 100 TB tune it against the sort order so
@@ -1020,11 +1029,8 @@ class ParquetMergeSink:
         # segment and carries no tombstone sidecar -> raw scan (the
         # stored _live flag and cells are already final; read() gets
         # parquet filter pushdown back)
-        def _is_base(path: str) -> bool:
-            return os.path.basename(os.path.dirname(path)) == "base"
-
         if all(
-            len(segs) == 1 and _is_base(segs[0]) for segs in sel.values()
+            len(segs) == 1 and _seg_is_base(segs[0]) for segs in sel.values()
         ) and not any(m["tomb_segs"].get(b) for b in sel):
             return self._read_segments(m, [segs[0] for segs in sel.values()])
         multi = [p for segs in sel.values() if len(segs) > 1 for p in segs]
@@ -1734,12 +1740,56 @@ class ParquetMergeSink:
             ))(*self._entry_counts(e))
         )
         if over:
-            cstats = self.compact(over)
-            stats["compacted_buckets"] = over
-            stats["compact_s"] = cstats["compact_s"]
+            minor_sel, major_sel = self._plan_compactions(new_index, over)
+            if major_sel:
+                cstats = self.compact(major_sel)
+                stats["compacted_buckets"] = major_sel
+                stats["compact_s"] = cstats["compact_s"]
+            if minor_sel:
+                mstats = self.compact(minor_sel, minor=True)
+                stats["minor_compacted_buckets"] = minor_sel
+                stats["minor_compact_s"] = mstats["compact_s"]
             stats["merge_s"] = time.time() - t0
         _mark("commit+compact")
         return stats
+
+    def _plan_compactions(
+            self, index: dict, over: list[int]
+    ) -> tuple[list[int], list[int]]:
+        """Split over-threshold buckets into (minor, major) per the
+        LSM size-ratio policy — see ``compact(minor=True)``. Decision
+        inputs are O(over-threshold buckets) driver metadata: root
+        entry counts plus parquet-footer row counts of that bucket's
+        segments (files just written, page-hot). Sidecar pressure or a
+        never-compacted bucket always majors (minor can't fold
+        tombstones / establish the first base)."""
+        if self.minor_compact_ratio <= 0:
+            return [], list(over)
+        minor_sel: list[int] = []
+        major_sel: list[int] = []
+        for b in over:
+            e = index[str(b)]
+            _ns, nt, tr = self._entry_counts(e)
+            if (nt >= self.compact_threshold
+                    or tr >= self.tomb_rows_compact_threshold):
+                major_sel.append(b)
+                continue
+            segs = list(self._bucket_state(e).get("segs", []))
+            base = [s for s in segs if _seg_is_base(s)]
+            if not base:
+                major_sel.append(b)
+                continue
+            base_rows = sum(
+                _parquet_rows(os.path.join(self.path, s)) for s in base)
+            delta_rows = sum(
+                _parquet_rows(os.path.join(self.path, s))
+                for s in segs if not _seg_is_base(s))
+            if (base_rows > 0
+                    and delta_rows <= base_rows * self.minor_compact_ratio):
+                minor_sel.append(b)
+            else:
+                major_sel.append(b)
+        return minor_sel, major_sel
 
     # ------------------------------------------------------------------
     def _purge_expired(self, df: DataFrame, vcols: list[str],
@@ -1847,7 +1897,8 @@ class ParquetMergeSink:
     # ------------------------------------------------------------------
     def compact(self, buckets: list[int] | None = None,
                 expire_before_ms: int | None = None,
-                sort_by: list[str] | None = None) -> dict:
+                sort_by: list[str] | None = None,
+                minor: bool = False) -> dict:
         """Collapse each selected bucket (default: every bucket with
         multiple row segments or any tombstone sidecar) to ONE resolved
         base segment, folding its accumulated sidecar tombstones into
@@ -1871,7 +1922,34 @@ class ParquetMergeSink:
         INSIDE every bucket. Trade-off (document per workload): pk
         row-group locality loosens, so ``lookup()`` reads more row
         groups within its one bucket. ``sort_by=[]`` explicitly resets
-        to the pk default."""
+        to the pk default.
+
+        ``minor=True`` — MINOR (LSM L0-style) compaction: fold only the
+        bucket's DELTA segments into one merged delta, leaving the big
+        base segment and the tombstone sidecars untouched. Safe because
+        segment resolution is per-cell max-timestamp LWW — associative
+        and commutative (cdc$time is unique per cell by construction),
+        so resolving the deltas first and the base later reads exactly
+        like resolving everything at once, and tombstones are applied
+        at read from the (unchanged) sidecars either way. Why it
+        matters at 100 TB: a major compaction rewrites O(bucket) — GBs
+        per bucket — every ``compact_threshold`` windows; under the
+        skewed update traffic CDC actually carries (hot repos), the
+        folded delta is a small fraction of the base, so the amortized
+        compaction write drops from O(bucket) to O(live delta) and the
+        base is rewritten only on tombstone pressure or an explicit
+        major. ``merge()``'s piggyback picks minor vs major per bucket
+        by a footer-stats size ratio (``minor_compact_ratio``).
+        Incompatible with ``expire_before_ms``/``sort_by`` (both are
+        full-resolution rewrites by definition)."""
+        if minor and expire_before_ms is not None:
+            raise ValueError(
+                "TTL/tombstone GC requires a major compaction "
+                "(expire_before_ms with minor=True)")
+        if minor and sort_by is not None:
+            raise ValueError(
+                "sort-order evolution rewrites bases; use a major "
+                "compaction (sort_by with minor=True)")
         t0 = time.time()
         root = self._load_root()
         order = (sort_by if sort_by is not None
@@ -1890,15 +1968,38 @@ class ParquetMergeSink:
         else:
             csel = {str(b) for b in buckets}
         sub = self._resolve(root, csel)
-        if not sub["buckets"] and not any(sub["tomb_segs"].values()):
-            return {"compacted": [], "compact_s": 0.0}
+        if minor:
+            # restrict to each bucket's DELTA segments; <2 deltas is a
+            # no-op. Sidecars leave the read set entirely, so the
+            # rebase below keeps them (and their row counts) verbatim.
+            dsel = {
+                b: [s for s in segs if not _seg_is_base(s)]
+                for b, segs in sub["buckets"].items()
+            }
+            sub["buckets"] = {b: s for b, s in dsel.items() if len(s) >= 2}
+            sub["tomb_segs"] = {b: [] for b in sub["tomb_segs"]}
+            sub["_tomb_rows"] = {b: 0 for b in sub["_tomb_rows"]}
+        if not sub["buckets"] and not (
+                not minor and any(sub["tomb_segs"].values())):
+            return {"compacted": [], "compact_s": 0.0, "minor": minor}
         # pin the exact read set for the commit-time rebase: segments
-        # resolved here are REPLACED by the new base; anything appended
-        # to these buckets after this snapshot must survive the commit
+        # resolved here are REPLACED by the new output; anything
+        # appended to these buckets after this snapshot must survive
         read_segs = {b: set(s) for b, s in sub["buckets"].items()}
         read_tombs = {b: set(s) for b, s in sub["tomb_segs"].items()}
         read_tomb_rows = dict(sub["_tomb_rows"])
-        resolved = self._read_physical_resolved(sub, list(sub["buckets"]))
+        if minor:
+            # delta-only LWW fold: no tombstone application, no purge —
+            # the merged delta is a drop-in replacement for its inputs
+            self._pin_files(sub)
+            resolved = self._aggregate_segments(
+                self._read_segments(
+                    sub,
+                    [p for s in sub["buckets"].values() for p in s]),
+                sub)
+        else:
+            resolved = self._read_physical_resolved(
+                sub, list(sub["buckets"]))
         if expire_before_ms is not None:
             # compaction-time TTL expiry + tombstone GC (Scylla drops
             # expired cells and gc-ripe tombstones when it rewrites an
@@ -1916,7 +2017,8 @@ class ParquetMergeSink:
         # under the lock (final version may differ) and concurrent
         # compactors must never share a dir.
         tok = uuid.uuid4().hex[:8]
-        rel_out = os.path.join("data", f"v{version}-{tok}", "base")
+        rel_out = os.path.join("data", f"v{version}-{tok}",
+                               "rows" if minor else "base")
         staging = os.path.join(self.path, rel_out)
         n_parts = max(len(csel) * min(self.salt_buckets, 4), 1)
         ck_cols = [F.col(c) for c in self.table.clustering_key]
@@ -2027,9 +2129,11 @@ class ParquetMergeSink:
             self._persist_bloom_cfg(new_root, self._bloom_cfg(cur))
             return new_root
 
-        committed = self._commit_under_lock(_build, op="compact")
+        committed = self._commit_under_lock(
+            _build, op="compact_minor" if minor else "compact")
         done = sorted(updated) if committed else []
-        return {"compacted": done, "compact_s": time.time() - t0}
+        return {"compacted": done, "compact_s": time.time() - t0,
+                "minor": minor}
 
     # ------------------------------------------------------------------
     def rebucket(self, new_num_buckets: int,
@@ -2360,6 +2464,13 @@ class ParquetMergeSink:
         if os.path.isdir(data_root):
             for v in os.listdir(data_root):
                 vdir = os.path.join(data_root, v)
+                try:
+                    # captured BEFORE the role sweep: removing a child
+                    # below refreshes vdir's mtime, which must not
+                    # re-grace a stale (crashed-writer) version dir
+                    v_age = now - os.path.getmtime(vdir)
+                except OSError:
+                    continue
                 for sub in ("rows", "tombs", "base", "."):
                     sdir = os.path.normpath(os.path.join(vdir, sub))
                     if not os.path.isdir(sdir):
@@ -2376,10 +2487,32 @@ class ParquetMergeSink:
                                     continue
                             shutil.rmtree(full, ignore_errors=True)
                             removed += 1
+                    # EMPTY role/version dirs honor the same staging
+                    # grace: a writer that just mkdir'd its staging
+                    # tree has a millisecond window before its first
+                    # file (Hadoop even chmods the fresh dir) — an
+                    # ungraced rmdir here deleted a live merge's
+                    # staging out from under it (caught once by the
+                    # six-process capstone under suite-level CPU
+                    # contention). rmdir is TOCTOU-guarded: a file
+                    # landing between listdir and rmdir makes it
+                    # ENOTEMPTY, which we treat as 'alive'.
                     if sub != "." and not os.listdir(sdir):
-                        os.rmdir(sdir)
-                if not os.listdir(vdir):
-                    os.rmdir(vdir)
+                        try:
+                            if (staging_grace_s > 0
+                                    and now - os.path.getmtime(sdir)
+                                    < staging_grace_s):
+                                continue
+                            os.rmdir(sdir)
+                        except OSError:
+                            pass
+                try:
+                    if not os.listdir(vdir) and not (
+                            staging_grace_s > 0
+                            and v_age < staging_grace_s):
+                        os.rmdir(vdir)
+                except OSError:
+                    pass
         meta_root = os.path.join(self.path, "meta")
         if os.path.isdir(meta_root):
             for bdir in os.listdir(meta_root):
@@ -2534,6 +2667,14 @@ def _read_pending(tomb_staging: str, part_key: list[str]):
             else:
                 ends.append({**base, "hi": r["hi"], "hi_incl": bool(r["hi_incl"])})
     return starts, ends
+
+
+def _seg_is_base(path: str) -> bool:
+    """A segment written by a MAJOR compaction/rebucket (fully resolved:
+    tombstones folded, ``_live`` final) vs a merge/minor-compaction
+    delta — the role is encoded in the path (``.../base/__bucket=N`` vs
+    ``.../rows/__bucket=N``), never in mutable metadata."""
+    return os.path.basename(os.path.dirname(path)) == "base"
 
 
 def _parquet_rows(d: str) -> int:

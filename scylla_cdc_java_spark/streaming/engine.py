@@ -283,6 +283,9 @@ class Engine:
             num_buckets=self.cfg.num_buckets,
             salt_buckets=self.cfg.salt_buckets,
             compact_threshold=self.cfg.compact_threshold,
+            minor_compact_ratio=self.cfg.minor_compact_ratio,
+            bloom_columns=(list(self.cfg.bloom_columns)
+                           if self.cfg.bloom_columns is not None else None),
         )
 
     # ------------------------------------------------------------------

@@ -1,0 +1,225 @@
+"""Minor (LSM L0-style) compaction: ``compact(minor=True)`` folds only
+a bucket's DELTA segments into one merged delta, leaving the base
+segment and the tombstone sidecars untouched.
+
+Safety claim the suite pins: segment resolution is per-cell
+max-timestamp LWW — associative and commutative (cdc$time unique per
+cell) — so delta-subset folding followed by normal read resolution
+equals resolving everything at once, with sidecar tombstones (which
+minor never touches) applied identically either way. The piggyback
+policy (``minor_compact_ratio``) picks minor vs major per bucket from
+footer row counts: sidecar pressure or a missing base always majors.
+"""
+
+from pyspark.sql import functions as F
+
+from scylla_cdc_java_spark.model import (
+    OP_PARTITION_DELETE,
+    OP_ROW_DELETE,
+    OP_ROW_INSERT,
+    OP_ROW_UPDATE,
+    TableConfig,
+)
+from scylla_cdc_java_spark.operators.fold import fold_batch, normalize_log
+from scylla_cdc_java_spark.sinks.parquet_merge import (
+    ParquetMergeSink,
+    _seg_is_base,
+)
+
+SID = b"\x0e" * 16
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _batch(spark, rows, cols=None):
+    cols = cols or COLS
+    data = [
+        (SID, {"ms": r["ms"], "seq": r["seq"]}, r["op"],
+         *[r.get(c) for c in cols])
+        for r in rows
+    ]
+    ddl = (
+        "`cdc$stream_id` binary, `cdc$time` struct<ms:long,seq:long>, "
+        "`cdc$operation` tinyint, "
+        + ", ".join(f"`{c}` string" for c in cols)
+    )
+    return normalize_log(spark.createDataFrame(data, schema=ddl))
+
+
+def _rows(df):
+    return sorted(tuple(r[c] for c in df.columns) for r in df.collect())
+
+
+def _seg_profile(sink):
+    """{bucket: (n_base, n_delta, n_tomb)} from the live manifest."""
+    root = sink._load_root()
+    out = {}
+    for b, e in root["bucket_index"].items():
+        st = sink._bucket_state(e)
+        segs = st.get("segs", [])
+        nb = sum(1 for s in segs if _seg_is_base(s))
+        out[b] = (nb, len(segs) - nb, len(st.get("tomb_segs", [])))
+    return out
+
+
+def _world(spark, sink, n=60):
+    """Three windows: inserts, then updates + a row delete, then more
+    updates + a PARTITION delete (sidecar tombstone) — every segment
+    kind a minor compaction must coexist with."""
+    ins = [
+        {"op": OP_ROW_INSERT, "ms": 10, "seq": i, "repo": f"org/r{i:03d}",
+         "path": "main.x", "commit": f"c{i}", "lang": "py",
+         "content": f"body-{i}"}
+        for i in range(n)
+    ]
+    sink.merge(fold_batch(_batch(spark, ins), sink.table), {"step": 1})
+    w2 = [
+        {"op": OP_ROW_UPDATE, "ms": 20, "seq": i, "repo": f"org/r{i:03d}",
+         "path": "main.x", "lang": "go"}
+        for i in range(0, n, 7)
+    ] + [{"op": OP_ROW_DELETE, "ms": 20, "seq": 900, "repo": "org/r001",
+          "path": "main.x"}]
+    sink.merge(fold_batch(_batch(spark, w2), sink.table), {"step": 2})
+    w3 = [
+        {"op": OP_ROW_UPDATE, "ms": 30, "seq": i, "repo": f"org/r{i:03d}",
+         "path": "main.x", "commit": f"c{i}-v2"}
+        for i in range(0, n, 5)
+    ] + [{"op": OP_PARTITION_DELETE, "ms": 30, "seq": 901,
+          "repo": "org/r002", "path": None}]
+    sink.merge(fold_batch(_batch(spark, w3), sink.table), {"step": 3})
+
+
+def test_minor_equals_unpacted_and_major(spark, tmp_root):
+    sink = ParquetMergeSink(spark, f"{tmp_root}/mc_eq", TableConfig(),
+                            num_buckets=8, compact_threshold=99)
+    _world(spark, sink)
+    before = _rows(sink.read())
+    assert before  # sanity: live rows exist
+    prof0 = _seg_profile(sink)
+    assert any(nd >= 2 for _, nd, _ in prof0.values())
+
+    st = sink.compact(minor=True)
+    assert st["minor"] and st["compacted"]
+    prof1 = _seg_profile(sink)
+    # deltas folded to ONE per bucket; sidecars untouched; still no base
+    for b, (nb, nd, nt) in prof1.items():
+        assert nb == 0 and nd == 1
+        assert nt == prof0[b][2]
+    assert _rows(sink.read()) == before
+
+    # minor on a minor-compacted table is a no-op (single delta)
+    st2 = sink.compact(minor=True)
+    assert st2["compacted"] == []
+
+    # a major on top folds sidecars into bases; values still identical
+    sink.compact(buckets=list(range(8)))
+    prof2 = _seg_profile(sink)
+    assert all(nb == 1 and nd == 0 and nt == 0
+               for nb, nd, nt in prof2.values())
+    assert _rows(sink.read()) == before
+
+    # deltas over the base, then minor again: base survives, reads exact
+    upd = [{"op": OP_ROW_UPDATE, "ms": 40, "seq": i,
+            "repo": f"org/r{i:03d}", "path": "main.x", "lang": "rs"}
+           for i in range(0, 60, 3)]
+    sink.merge(fold_batch(_batch(spark, upd), sink.table), {"step": 4})
+    upd2 = [{"op": OP_ROW_UPDATE, "ms": 50, "seq": i,
+             "repo": f"org/r{i:03d}", "path": "main.x", "lang": "zig"}
+            for i in range(0, 60, 6)]
+    sink.merge(fold_batch(_batch(spark, upd2), sink.table), {"step": 5})
+    want = _rows(sink.read())
+    sink.compact(minor=True)
+    prof3 = _seg_profile(sink)
+    assert all(nb == 1 for nb, _, _ in prof3.values())  # bases untouched
+    assert all(nd <= 1 for _, nd, _ in prof3.values())
+    assert _rows(sink.read()) == want
+
+
+def test_minor_validation(spark, tmp_root):
+    sink = ParquetMergeSink(spark, f"{tmp_root}/mc_val", TableConfig(),
+                            num_buckets=4, compact_threshold=99)
+    for kwargs in ({"expire_before_ms": 10}, {"sort_by": ["lang"]}):
+        try:
+            sink.compact(minor=True, **kwargs)
+            raise AssertionError(f"expected ValueError for {kwargs}")
+        except ValueError:
+            pass
+
+
+def test_piggyback_policy_splits_minor_vs_major(spark, tmp_root):
+    """compact_threshold=2: the FIRST threshold crossing majors (no
+    base yet), later small-delta crossings minor, and a delete storm
+    (sidecar pressure) majors again."""
+    sink = ParquetMergeSink(spark, f"{tmp_root}/mc_pol", TableConfig(),
+                            num_buckets=4, compact_threshold=2,
+                            tomb_rows_compact_threshold=3,
+                            minor_compact_ratio=0.5)
+    ins = [
+        {"op": OP_ROW_INSERT, "ms": 10, "seq": i, "repo": f"org/r{i:03d}",
+         "path": "main.x", "commit": f"c{i}", "lang": "py",
+         "content": f"body-{i}"}
+        for i in range(80)
+    ]
+    sink.merge(fold_batch(_batch(spark, ins), sink.table), {"step": 1})
+    upd = [{"op": OP_ROW_UPDATE, "ms": 20, "seq": i,
+            "repo": f"org/r{i:03d}", "path": "main.x", "lang": "go"}
+           for i in range(4)]
+    s2 = sink.merge(fold_batch(_batch(spark, upd), sink.table), {"step": 2})
+    # ns hit the threshold but no bucket has a base yet -> major
+    assert s2.get("compacted_buckets") and not s2.get(
+        "minor_compacted_buckets")
+
+    upd3 = [{"op": OP_ROW_UPDATE, "ms": 30, "seq": i,
+             "repo": f"org/r{i:03d}", "path": "main.x", "lang": "rs"}
+            for i in range(4)]
+    s3 = sink.merge(fold_batch(_batch(spark, upd3), sink.table),
+                    {"step": 3})
+    # small deltas over a big base -> minor; base survives
+    assert s3.get("minor_compacted_buckets")
+    assert not s3.get("compacted_buckets")
+    prof = _seg_profile(sink)
+    assert all(prof[str(b)][0] == 1
+               for b in s3["minor_compacted_buckets"])
+
+    # delete storm: sidecar rows cross tomb_rows_compact_threshold ->
+    # the policy must MAJOR those buckets (minor cannot fold sidecars)
+    dels = [{"op": OP_PARTITION_DELETE, "ms": 40, "seq": i,
+             "repo": f"org/r{i:03d}", "path": None}
+            for i in range(12)]
+    sink.merge(fold_batch(_batch(spark, dels), sink.table), {"step": 4})
+    upd5 = [{"op": OP_ROW_UPDATE, "ms": 50, "seq": i,
+             "repo": f"org/r{i:03d}", "path": "main.x", "lang": "ml"}
+            for i in range(40, 44)]
+    s5 = sink.merge(fold_batch(_batch(spark, upd5), sink.table),
+                    {"step": 5})
+    assert s5.get("compacted_buckets")  # storm buckets went major
+    # and the table still reads exactly: r000-r011 partitions deleted,
+    # r040-r043 carry the new lang
+    got = {r["repo"]: r["lang"] for r in sink.read().collect()}
+    assert "org/r000" not in got and "org/r011" not in got
+    assert got["org/r040"] == "ml" and got["org/r079"] == "py"
+
+    # ratio 0 disables: next crossing majors even with a tiny delta
+    sink.minor_compact_ratio = 0.0
+    for step, ms in ((6, 60), (7, 70)):
+        upd = [{"op": OP_ROW_UPDATE, "ms": ms, "seq": i,
+                "repo": f"org/r{i:03d}", "path": "main.x", "lang": "hs"}
+               for i in range(50, 54)]
+        st = sink.merge(fold_batch(_batch(spark, upd), sink.table),
+                        {"step": step})
+    assert st.get("compacted_buckets") and not st.get(
+        "minor_compacted_buckets")
+
+
+def test_minor_rebuilds_zone_and_bloom_stats(spark, tmp_root):
+    """The merged delta carries fresh zone+bloom stats: a bloom scan
+    still prunes and stays exact after minor compaction."""
+    sink = ParquetMergeSink(spark, f"{tmp_root}/mc_bloom", TableConfig(),
+                            num_buckets=8, compact_threshold=99,
+                            bloom_columns=["commit"])
+    _world(spark, sink)
+    want = _rows(sink.scan([("commit", "=", "c7")], prune=False))
+    sink.compact(minor=True)
+    info = {}
+    got = _rows(sink.scan([("commit", "=", "c7")], info=info))
+    assert got == want and got
+    assert info["kept_buckets"] < info["total_buckets"]

@@ -197,3 +197,37 @@ def test_tail_backoff_tiers_are_real(spark, tmp_root, monkeypatch):
     assert round(cfg.poll_busy_s * cfg.sleep_scale, 9) in {
         round(s, 9) for s in slept
     }
+
+
+def test_vacuum_grace_protects_freshly_staged_empty_dirs(spark, tmp_root):
+    """The mkdir->first-file window of a concurrent writer's staging:
+    vacuum must NOT rmdir a fresh EMPTY role/version dir under
+    staging_grace_s (an ungraced sweep once deleted a live merge's
+    staging tree out from under Hadoop's output committer — caught by
+    the six-process capstone), but a stale one (crashed writer) is
+    reaped."""
+    import os
+    import time as _time
+
+    from scylla_cdc_java_spark.model import TableConfig
+    from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+
+    target = f"{tmp_root}/vac_grace"
+    sink = ParquetMergeSink(spark, target, TableConfig(), num_buckets=4)
+    # emulate a concurrent writer that JUST created its staging tree
+    fresh = os.path.join(target, "data", "v99-deadbeef", "rows")
+    os.makedirs(fresh)
+    stale = os.path.join(target, "data", "v98-cafecafe", "rows")
+    os.makedirs(stale)
+    old = _time.time() - 3600
+    os.utime(stale, (old, old))
+    os.utime(os.path.dirname(stale), (old, old))
+
+    sink.vacuum(staging_grace_s=600)
+    assert os.path.isdir(fresh), "graced fresh staging must survive"
+    assert not os.path.exists(os.path.dirname(stale)), \
+        "stale crashed staging must be reaped"
+
+    # and with grace disabled (single-process semantics) both go
+    sink.vacuum(staging_grace_s=0)
+    assert not os.path.exists(os.path.dirname(fresh))

@@ -169,21 +169,31 @@ def main() -> None:
         t0 = time.time()
         eng.sink.compact(buckets=list(range(NUM_BUCKETS)))
         report["bloom_build_compact_s"] = round(time.time() - t0, 2)
-        sha = (eng.sink.read().where(F.col("commit").isNotNull())
-               .select("commit").first()["commit"])
-        bfilt = [("commit", "=", sha)]
-        inf3: dict = {}
-        t0 = time.time()
-        n_b = eng.sink.scan(bfilt, info=inf3).count()
-        report["bloom_pruned_s"] = round(time.time() - t0, 2)
-        report["bloom_pruning"] = inf3
-        t0 = time.time()
-        n_bf = eng.sink.scan(bfilt, prune=False).count()
-        report["bloom_full_s"] = round(time.time() - t0, 2)
-        assert n_b == n_bf, (n_b, n_bf)
-        report["bloom_rows"] = n_b
-        report["bloom_speedup"] = round(
-            report["bloom_full_s"] / max(report["bloom_pruned_s"], 1e-9), 1)
+        # two literals, two honest cases: a RARE sha (the point-lookup
+        # shape: one true bucket + FPR noise) and a HOT sha (a commit
+        # that touched many files, so its rows genuinely spread over
+        # many buckets — pruning converges on the true spread, not 1)
+        freq = (eng.sink.read().where(F.col("commit").isNotNull())
+                .groupBy("commit").count()
+                .select("commit", "count")
+                .orderBy("count", "commit"))
+        rare = freq.first()
+        hot = freq.orderBy(F.desc("count"), "commit").first()
+        for label, row in (("rare", rare), ("hot", hot)):
+            bfilt = [("commit", "=", row["commit"])]
+            inf3 = {}
+            t0 = time.time()
+            n_b = eng.sink.scan(bfilt, info=inf3).count()
+            report[f"bloom_{label}_pruned_s"] = round(time.time() - t0, 2)
+            report[f"bloom_{label}_pruning"] = inf3
+            t0 = time.time()
+            n_bf = eng.sink.scan(bfilt, prune=False).count()
+            report[f"bloom_{label}_full_s"] = round(time.time() - t0, 2)
+            assert n_b == n_bf, (label, n_b, n_bf)
+            report[f"bloom_{label}_rows"] = n_b
+            report[f"bloom_{label}_speedup"] = round(
+                report[f"bloom_{label}_full_s"]
+                / max(report[f"bloom_{label}_pruned_s"], 1e-9), 1)
 
         # ---- 4. sort-order evolution: row-group skipping INSIDE buckets
         # The dense column's fix is clustering, not bucket pruning:
