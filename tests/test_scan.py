@@ -278,3 +278,25 @@ def test_seg_zone_stats_all_null_and_missing_column(spark, tmp_root):
     assert st["v"] == [None, None]       # present, provably all-null
     assert st["absent"] == [None, None]  # absent from the file schema
     assert st["__schema__"] == ["k", "v"]
+
+
+def test_projection_pushdown_on_compacted_bases(spark, tmp_root):
+    """Column pruning must reach the parquet scan on the raw-scan fast
+    path: a 2-column projection over a compacted table reads ONLY
+    those columns (+ the stored _live flag). On UNCOMPACTED buckets the
+    full-width read is semantically required — row liveness is marker
+    OR any live cell (Scylla's rule), undecidable without every cell —
+    which is exactly why compaction (incl. the round-5 minor policy
+    keeping the dirty set to one merged delta) is the steady state."""
+    sink = ParquetMergeSink(spark, f"{tmp_root}/scan_proj", TableConfig(),
+                            num_buckets=8, compact_threshold=99)
+    _world(spark, sink)
+    dirty = _explain(sink.read().select("repo", "lang"))
+    assert "content:string" in dirty  # liveness needs every cell
+
+    sink.compact(buckets=list(range(8)))
+    plan = _explain(sink.read().select("repo", "lang"))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("content" not in ln for ln in reads)
+    assert any("repo:string,lang:string,_live:boolean" in ln
+               for ln in reads)
