@@ -1741,13 +1741,15 @@ class ParquetMergeSink:
         )
         if over:
             minor_sel, major_sel = self._plan_compactions(new_index, over)
+            # stats report what actually COMMITTED (compact skips
+            # superseded / nothing-to-fold buckets), not the plan
             if major_sel:
                 cstats = self.compact(major_sel)
-                stats["compacted_buckets"] = major_sel
+                stats["compacted_buckets"] = cstats["compacted"]
                 stats["compact_s"] = cstats["compact_s"]
             if minor_sel:
                 mstats = self.compact(minor_sel, minor=True)
-                stats["minor_compacted_buckets"] = minor_sel
+                stats["minor_compacted_buckets"] = mstats["compacted"]
                 stats["minor_compact_s"] = mstats["compact_s"]
             stats["merge_s"] = time.time() - t0
         _mark("commit+compact")
@@ -1778,6 +1780,12 @@ class ParquetMergeSink:
             base = [s for s in segs if _seg_is_base(s)]
             if not base:
                 major_sel.append(b)
+                continue
+            if len(segs) - len(base) < 2:
+                # base + <2 deltas: nothing a minor could fold, and the
+                # only reason the threshold fired is the base+merged
+                # pair itself (possible at compact_threshold <= 2) —
+                # planning it would no-op every merge forever
                 continue
             base_rows = sum(
                 _parquet_rows(os.path.join(self.path, s)) for s in base)
@@ -1979,6 +1987,11 @@ class ParquetMergeSink:
             sub["buckets"] = {b: s for b, s in dsel.items() if len(s) >= 2}
             sub["tomb_segs"] = {b: [] for b in sub["tomb_segs"]}
             sub["_tomb_rows"] = {b: 0 for b in sub["_tomb_rows"]}
+            # narrow the COMMIT set to the folded buckets: rewriting an
+            # untouched bucket's manifest would churn its fingerprint
+            # (phantom change for every incremental consumer) and
+            # over-size the staging repartition below
+            csel = set(sub["buckets"])
         if not sub["buckets"] and not (
                 not minor and any(sub["tomb_segs"].values())):
             return {"compacted": [], "compact_s": 0.0, "minor": minor}
@@ -2475,6 +2488,14 @@ class ParquetMergeSink:
                     sdir = os.path.normpath(os.path.join(vdir, sub))
                     if not os.path.isdir(sdir):
                         continue
+                    try:
+                        # captured BEFORE the child sweep (like v_age):
+                        # rmtree of a stale child refreshes sdir's
+                        # mtime, which must not re-grace the dir itself
+                        # (it would take a second vacuum pass to reap)
+                        s_age = now - os.path.getmtime(sdir)
+                    except OSError:
+                        continue
                     for d in list(os.listdir(sdir)):
                         full = os.path.join(sdir, d)
                         if full not in live and d.startswith(BUCKET_COL + "="):
@@ -2500,8 +2521,7 @@ class ParquetMergeSink:
                     if sub != "." and not os.listdir(sdir):
                         try:
                             if (staging_grace_s > 0
-                                    and now - os.path.getmtime(sdir)
-                                    < staging_grace_s):
+                                    and s_age < staging_grace_s):
                                 continue
                             os.rmdir(sdir)
                         except OSError:

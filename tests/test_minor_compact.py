@@ -61,6 +61,17 @@ def _seg_profile(sink):
     return out
 
 
+def _insert_world(spark, sink, n=40, start_ms=10):
+    ins = [
+        {"op": OP_ROW_INSERT, "ms": start_ms, "seq": i,
+         "repo": f"org/r{i:03d}", "path": "main.x", "commit": f"c{i}",
+         "lang": "py", "content": f"body-{i}"}
+        for i in range(n)
+    ]
+    sink.merge(fold_batch(_batch(spark, ins), sink.table),
+               {"step": start_ms})
+
+
 def _world(spark, sink, n=60):
     """Three windows: inserts, then updates + a row delete, then more
     updates + a PARTITION delete (sidecar tombstone) — every segment
@@ -146,11 +157,11 @@ def test_minor_validation(spark, tmp_root):
 
 
 def test_piggyback_policy_splits_minor_vs_major(spark, tmp_root):
-    """compact_threshold=2: the FIRST threshold crossing majors (no
-    base yet), later small-delta crossings minor, and a delete storm
-    (sidecar pressure) majors again."""
+    """compact_threshold=3: the FIRST threshold crossing majors (no
+    base yet), later small-delta crossings minor once >=2 deltas
+    accumulated, and a delete storm (sidecar pressure) majors again."""
     sink = ParquetMergeSink(spark, f"{tmp_root}/mc_pol", TableConfig(),
-                            num_buckets=4, compact_threshold=2,
+                            num_buckets=4, compact_threshold=3,
                             tomb_rows_compact_threshold=3,
                             minor_compact_ratio=0.5)
     ins = [
@@ -160,54 +171,62 @@ def test_piggyback_policy_splits_minor_vs_major(spark, tmp_root):
         for i in range(80)
     ]
     sink.merge(fold_batch(_batch(spark, ins), sink.table), {"step": 1})
-    upd = [{"op": OP_ROW_UPDATE, "ms": 20, "seq": i,
-            "repo": f"org/r{i:03d}", "path": "main.x", "lang": "go"}
-           for i in range(4)]
-    s2 = sink.merge(fold_batch(_batch(spark, upd), sink.table), {"step": 2})
+
+    def _upd_window(step, ms, lang, n=4):
+        upd = [{"op": OP_ROW_UPDATE, "ms": ms, "seq": i,
+                "repo": f"org/r{i:03d}", "path": "main.x", "lang": lang}
+               for i in range(n)]
+        return sink.merge(fold_batch(_batch(spark, upd), sink.table),
+                          {"step": step})
+
+    _upd_window(2, 20, "go")
+    s3 = _upd_window(3, 30, "rs")
     # ns hit the threshold but no bucket has a base yet -> major
-    assert s2.get("compacted_buckets") and not s2.get(
+    assert s3.get("compacted_buckets") and not s3.get(
         "minor_compacted_buckets")
 
-    upd3 = [{"op": OP_ROW_UPDATE, "ms": 30, "seq": i,
-             "repo": f"org/r{i:03d}", "path": "main.x", "lang": "rs"}
-            for i in range(4)]
-    s3 = sink.merge(fold_batch(_batch(spark, upd3), sink.table),
-                    {"step": 3})
-    # small deltas over a big base -> minor; base survives
-    assert s3.get("minor_compacted_buckets")
-    assert not s3.get("compacted_buckets")
+    _upd_window(4, 40, "ml")  # base + 1 delta: unfoldable, nothing planned
+    s5 = _upd_window(5, 50, "hs")
+    # base + 2 small deltas -> minor; base survives
+    assert s5.get("minor_compacted_buckets")
+    assert not s5.get("compacted_buckets")
     prof = _seg_profile(sink)
     assert all(prof[str(b)][0] == 1
-               for b in s3["minor_compacted_buckets"])
+               for b in s5["minor_compacted_buckets"])
 
     # delete storm: sidecar rows cross tomb_rows_compact_threshold ->
     # the policy must MAJOR those buckets (minor cannot fold sidecars)
-    dels = [{"op": OP_PARTITION_DELETE, "ms": 40, "seq": i,
+    dels = [{"op": OP_PARTITION_DELETE, "ms": 60, "seq": i,
              "repo": f"org/r{i:03d}", "path": None}
             for i in range(12)]
-    sink.merge(fold_batch(_batch(spark, dels), sink.table), {"step": 4})
-    upd5 = [{"op": OP_ROW_UPDATE, "ms": 50, "seq": i,
+    s6 = sink.merge(fold_batch(_batch(spark, dels), sink.table),
+                    {"step": 6})
+    # the storm's own window crosses the sidecar-row trigger and the
+    # policy majors those buckets immediately (minor can't fold tombs)
+    assert s6.get("compacted_buckets")
+    assert not s6.get("minor_compacted_buckets")
+    upd7 = [{"op": OP_ROW_UPDATE, "ms": 70, "seq": i,
              "repo": f"org/r{i:03d}", "path": "main.x", "lang": "ml"}
             for i in range(40, 44)]
-    s5 = sink.merge(fold_batch(_batch(spark, upd5), sink.table),
-                    {"step": 5})
-    assert s5.get("compacted_buckets")  # storm buckets went major
+    sink.merge(fold_batch(_batch(spark, upd7), sink.table), {"step": 7})
     # and the table still reads exactly: r000-r011 partitions deleted,
     # r040-r043 carry the new lang
     got = {r["repo"]: r["lang"] for r in sink.read().collect()}
     assert "org/r000" not in got and "org/r011" not in got
     assert got["org/r040"] == "ml" and got["org/r079"] == "py"
 
-    # ratio 0 disables: next crossing majors even with a tiny delta
+    # ratio 0 disables: the next crossing majors even with tiny deltas
     sink.minor_compact_ratio = 0.0
-    for step, ms in ((6, 60), (7, 70)):
+    majored = minored = False
+    for step, ms in ((8, 80), (9, 90), (10, 100)):
         upd = [{"op": OP_ROW_UPDATE, "ms": ms, "seq": i,
                 "repo": f"org/r{i:03d}", "path": "main.x", "lang": "hs"}
                for i in range(50, 54)]
         st = sink.merge(fold_batch(_batch(spark, upd), sink.table),
                         {"step": step})
-    assert st.get("compacted_buckets") and not st.get(
-        "minor_compacted_buckets")
+        majored = majored or bool(st.get("compacted_buckets"))
+        minored = minored or bool(st.get("minor_compacted_buckets"))
+    assert majored and not minored
 
 
 def test_minor_rebuilds_zone_and_bloom_stats(spark, tmp_root):
@@ -223,3 +242,60 @@ def test_minor_rebuilds_zone_and_bloom_stats(spark, tmp_root):
     got = _rows(sink.scan([("commit", "=", "c7")], info=info))
     assert got == want and got
     assert info["kept_buckets"] < info["total_buckets"]
+
+
+def test_minor_touches_only_folded_buckets_manifests(spark, tmp_root):
+    """Review finding: compact(minor=True) must not rewrite the
+    manifest entry (fingerprint) of a bucket it didn't fold — a
+    phantom entry change makes every incremental consumer re-read the
+    bucket for nothing."""
+    sink = ParquetMergeSink(spark, f"{tmp_root}/mc_touch", TableConfig(),
+                            num_buckets=8, compact_threshold=99)
+    _insert_world(spark, sink, n=40, start_ms=10)
+    # second window touching ONLY key r000's bucket
+    upd = [{"op": OP_ROW_UPDATE, "ms": 20, "seq": 0, "repo": "org/r000",
+            "path": "main.x", "lang": "go"}]
+    sink.merge(fold_batch(_batch(spark, upd), sink.table), {"step": 2})
+
+    def entry_paths():
+        return {b: e.get("path")
+                for b, e in sink._load_root()["bucket_index"].items()}
+
+    before = entry_paths()
+    st = sink.compact(minor=True)
+    after = entry_paths()
+    assert len(st["compacted"]) == 1  # only r000's bucket had 2 deltas
+    folded = {str(b) for b in st["compacted"]}
+    for b in before:
+        if str(b) in folded:
+            assert after[b] != before[b]
+        else:
+            assert after[b] == before[b], f"bucket {b} churned"
+
+
+def test_policy_reports_actual_and_skips_unfoldable(spark, tmp_root):
+    """Review finding: merge stats must report the buckets compaction
+    actually COMMITTED, and a base+1-delta bucket at threshold 2 must
+    not be re-planned into a no-op minor on every merge forever."""
+    sink = ParquetMergeSink(spark, f"{tmp_root}/mc_noop", TableConfig(),
+                            num_buckets=4, compact_threshold=2,
+                            minor_compact_ratio=0.5)
+    _insert_world(spark, sink, n=40, start_ms=10)
+    upd = [{"op": OP_ROW_UPDATE, "ms": 20, "seq": i,
+            "repo": f"org/r{i:03d}", "path": "main.x", "lang": "go"}
+           for i in range(40)]
+    s2 = sink.merge(fold_batch(_batch(spark, upd), sink.table),
+                    {"step": 2})
+    assert s2.get("compacted_buckets")  # first crossing majors
+
+    upd3 = [{"op": OP_ROW_UPDATE, "ms": 30, "seq": i,
+             "repo": f"org/r{i:03d}", "path": "main.x", "lang": "rs"}
+            for i in range(2)]
+    s3 = sink.merge(fold_batch(_batch(spark, upd3), sink.table),
+                    {"step": 3})
+    # ns=2 everywhere but base+1 delta is unfoldable: nothing planned,
+    # nothing falsely reported
+    assert not s3.get("minor_compacted_buckets")
+    assert not s3.get("compacted_buckets")
+    ops = [h["operation"] for h in sink.history()]
+    assert ops.count("compact_minor") == 0

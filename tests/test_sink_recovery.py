@@ -231,3 +231,29 @@ def test_vacuum_grace_protects_freshly_staged_empty_dirs(spark, tmp_root):
     # and with grace disabled (single-process semantics) both go
     sink.vacuum(staging_grace_s=0)
     assert not os.path.exists(os.path.dirname(fresh))
+
+
+def test_vacuum_reaps_stale_staging_tree_in_one_pass(spark, tmp_root):
+    """Review finding: reaping a stale staging CHILD refreshes the role
+    dir's mtime; the empty-dir grace must key on the PRE-sweep age so
+    a crashed writer's whole tree goes in ONE vacuum pass."""
+    import os
+    import time as _time
+
+    from scylla_cdc_java_spark.model import TableConfig
+    from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
+
+    target = f"{tmp_root}/vac_one_pass"
+    sink = ParquetMergeSink(spark, target, TableConfig(), num_buckets=4)
+    tree = os.path.join(target, "data", "v97-feedface", "rows")
+    child = os.path.join(tree, "__bucket=3")
+    os.makedirs(child)
+    with open(os.path.join(child, "part-0.parquet"), "w") as f:
+        f.write("x")
+    old = _time.time() - 3600
+    for p in (child, tree, os.path.dirname(tree)):
+        os.utime(p, (old, old))
+
+    sink.vacuum(staging_grace_s=600)
+    assert not os.path.exists(os.path.dirname(tree)), \
+        "stale tree (with children) must be reaped in one pass"
