@@ -1755,6 +1755,40 @@ class ParquetMergeSink:
         _mark("commit+compact")
         return stats
 
+    def maintain(self, expire_before_ms: int | None = None) -> dict:
+        """One externally-driven LSM maintenance round: select every
+        over-threshold bucket (same triggers as ``merge()``'s
+        piggyback), split minor-vs-major per the size-ratio policy,
+        and run both. This is what an external compactor daemon
+        (``tools/compactor.py --policy lsm``) calls instead of the
+        rewrite-everything ``compact()`` — on a table in LSM steady
+        state (base + merged delta per bucket) the latter would major
+        every bucket every round, paying exactly the O(table) write
+        the policy exists to avoid. ``expire_before_ms`` applies only
+        to the major side (TTL/tombstone GC is a full-resolution
+        rewrite)."""
+        root = self._load_root()
+        over = sorted(
+            int(b) for b, e in root["bucket_index"].items()
+            if (lambda ns, nt, tr: (
+                ns >= self.compact_threshold
+                or nt >= self.compact_threshold
+                or tr >= self.tomb_rows_compact_threshold
+            ))(*self._entry_counts(e))
+        )
+        minor_sel, major_sel = self._plan_compactions(
+            root["bucket_index"], over)
+        out = {"compacted": [], "minor_compacted": [], "compact_s": 0.0}
+        if major_sel:
+            c = self.compact(major_sel, expire_before_ms=expire_before_ms)
+            out["compacted"] = c["compacted"]
+            out["compact_s"] += c["compact_s"]
+        if minor_sel:
+            m = self.compact(minor_sel, minor=True)
+            out["minor_compacted"] = m["compacted"]
+            out["compact_s"] += m["compact_s"]
+        return out
+
     def _plan_compactions(
             self, index: dict, over: list[int]
     ) -> tuple[list[int], list[int]]:

@@ -299,3 +299,38 @@ def test_policy_reports_actual_and_skips_unfoldable(spark, tmp_root):
     assert not s3.get("compacted_buckets")
     ops = [h["operation"] for h in sink.history()]
     assert ops.count("compact_minor") == 0
+
+
+def test_maintain_external_lsm_round(spark, tmp_root):
+    """sink.maintain() — the external daemon's LSM round — applies the
+    same minor/major split as the piggyback: small deltas over a base
+    fold minor, sidecar pressure majors, and a table in steady state
+    (base + merged delta) is left alone instead of fully rewritten."""
+    sink = ParquetMergeSink(spark, f"{tmp_root}/mc_maint", TableConfig(),
+                            num_buckets=4, compact_threshold=10**6,
+                            tomb_rows_compact_threshold=10**9,
+                            minor_compact_ratio=0.5)
+    _insert_world(spark, sink, n=60, start_ms=10)
+    sink.compact(buckets=list(range(4)))  # establish bases
+    for step, ms in ((2, 20), (3, 30)):
+        upd = [{"op": OP_ROW_UPDATE, "ms": ms, "seq": i,
+                "repo": f"org/r{i:03d}", "path": "main.x", "lang": "go"}
+               for i in range(4)]
+        sink.merge(fold_batch(_batch(spark, upd), sink.table),
+                   {"step": step})
+    want = _rows(sink.read())
+
+    # maintenance thresholds are the MAINTAINER's, not the writer's
+    m = ParquetMergeSink.for_existing(spark, f"{tmp_root}/mc_maint",
+                                      compact_threshold=3,
+                                      minor_compact_ratio=0.5)
+    st = m.maintain()
+    assert st["minor_compacted"] and not st["compacted"]
+    assert _rows(m.read()) == want
+    prof = _seg_profile(m)
+    for b in st["minor_compacted"]:
+        assert prof[str(b)] == (1, 1, 0)  # base survived, deltas folded
+
+    # steady state: a second round finds nothing to do
+    st2 = m.maintain()
+    assert not st2["compacted"] and not st2["minor_compacted"]

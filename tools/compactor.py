@@ -12,7 +12,7 @@ docstring) and from ``staging_grace_s`` on vacuum.
 Usage:
     python tools/compactor.py TARGET [--interval 30] [--once]
         [--retain-snapshots 0] [--grace 600] [--expire-before-ms N]
-        [--max-rounds N] [--out compactor.jsonl]
+        [--policy major|lsm] [--max-rounds N] [--out compactor.jsonl]
 
 Stops when TARGET's manifest checkpoint says done=True (the writer
 finished) if --until-done, else loops forever / --max-rounds.
@@ -57,6 +57,13 @@ def main() -> None:
     # readable on tables with live change-feed cursors)
     ap.add_argument("--reader-lease", type=float, default=None)
     ap.add_argument("--expire-before-ms", type=int, default=None)
+    # 'major' (default, historic): collapse EVERY multi-segment bucket
+    # to one base per round — right when this daemon is the table's
+    # only compaction. 'lsm': sink.maintain() — the same minor/major
+    # size-ratio split the writer's piggyback uses, so an externally-
+    # maintained table in LSM steady state (base + merged delta) isn't
+    # fully rewritten every round.
+    ap.add_argument("--policy", choices=["major", "lsm"], default="major")
     ap.add_argument("--cores", type=int, default=4)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -78,7 +85,12 @@ def main() -> None:
     try:
         while True:
             t0 = time.time()
-            cstats = sink.compact(expire_before_ms=args.expire_before_ms)
+            if args.policy == "lsm":
+                cstats = sink.maintain(
+                    expire_before_ms=args.expire_before_ms)
+            else:
+                cstats = sink.compact(
+                    expire_before_ms=args.expire_before_ms)
             removed = sink.vacuum(retain_snapshots=args.retain_snapshots,
                                   staging_grace_s=args.grace)
             rec = {
@@ -88,6 +100,8 @@ def main() -> None:
                 "vacuumed": removed,
                 "round_s": round(time.time() - t0, 2),
             }
+            if cstats.get("minor_compacted"):
+                rec["minor_compacted"] = cstats["minor_compacted"]
             line = json.dumps(rec)
             print(line, flush=True)
             if log:
