@@ -291,3 +291,63 @@ def test_external_compactor_process_during_replay(spark, tmp_root):
         for r in eng.sink.read().collect()
     )
     assert got == want
+
+
+def test_external_lsm_maintainer_process_during_replay(spark, tmp_root):
+    """``tools/compactor.py --policy lsm`` (sink.maintain(): the
+    minor/major size-ratio split) in a separate OS process racing a
+    live replay's commits — the cross-process interleaving minor
+    compaction must survive: a minor's delta-only rebase conflicting
+    with writer merges, and writer merges appending to buckets a minor
+    just folded. Final state oracle-exact; at least one MINOR must
+    have landed mid-replay (the maintainer's low threshold + the big
+    backfill base make later small windows minor-eligible)."""
+    # heavy zipf skew: later windows touch few distinct hot keys, so
+    # folded deltas stay small against the gen-1 backfill base — the
+    # regime where the size-ratio policy picks minor
+    spec = GenSpec(seed=37, n_events=3000, n_repos=40, paths_per_repo=8,
+                   n_generations=2, streams_per_generation=4,
+                   gen_span_ms=300_000, p_range_delete=0.02,
+                   zipf_a=1.5, p_update=0.9, p_insert=0.08)
+    world = generate_world(spec)
+    info = write_world(world, f"{tmp_root}/lsm_world")
+    target = f"{tmp_root}/lsm_target"
+    out = f"{tmp_root}/lsm_compactor.jsonl"
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO_ROOT, "tools", "compactor.py"),
+         target, "--interval", "1", "--max-rounds", "200",
+         "--until-done", "--grace", "30", "--cores", "2",
+         "--policy", "lsm", "--compact-threshold", "3", "--out", out],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        eng = Engine(
+            spark, info["log_dir"], info["generations_path"], target,
+            cfg=EngineConfig(window_length_limit_ms=20_000,
+                             compact_threshold=10**6),
+        )
+        stats = eng.replay()
+        assert stats.windows >= 10, stats.windows
+        proc.wait(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+    rounds = [json.loads(line) for line in open(out)]
+    assert any(r["compacted"] for r in rounds), \
+        "lsm maintainer never established bases (first crossing majors)"
+    assert any(r.get("minor_compacted") for r in rounds), \
+        "lsm maintainer never landed a minor compaction mid-replay"
+
+    oracle_rows = final_state(replay(world["events"]))
+    want = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in oracle_rows
+    )
+    got = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in eng.sink.read().collect()
+    )
+    assert got == want

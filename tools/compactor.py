@@ -64,6 +64,10 @@ def main() -> None:
     # maintained table in LSM steady state (base + merged delta) isn't
     # fully rewritten every round.
     ap.add_argument("--policy", choices=["major", "lsm"], default="major")
+    # maintenance thresholds are the MAINTAINER's own (a daemon may
+    # compact more eagerly than the writer's piggyback would)
+    ap.add_argument("--compact-threshold", type=int, default=None)
+    ap.add_argument("--minor-ratio", type=float, default=None)
     ap.add_argument("--cores", type=int, default=4)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -79,6 +83,10 @@ def main() -> None:
     kw = {}
     if args.reader_lease is not None:
         kw["reader_lease_s"] = args.reader_lease
+    if args.compact_threshold is not None:
+        kw["compact_threshold"] = args.compact_threshold
+    if args.minor_ratio is not None:
+        kw["minor_compact_ratio"] = args.minor_ratio
     sink = ParquetMergeSink.for_existing(spark, args.target, **kw)
     log = open(args.out, "a") if args.out else None
     rounds = 0
