@@ -1731,14 +1731,7 @@ class ParquetMergeSink:
         # triggers are O(buckets) root-entry arithmetic: segment count
         # (amortized rewrite) OR accumulated sidecar rows (keeps the
         # tombstone join broadcast-able even under delete storms)
-        over = sorted(
-            int(b) for b, e in new_index.items()
-            if (lambda ns, nt, tr: (
-                ns >= self.compact_threshold
-                or nt >= self.compact_threshold
-                or tr >= self.tomb_rows_compact_threshold
-            ))(*self._entry_counts(e))
-        )
+        over = self._over_threshold(new_index)
         if over:
             minor_sel, major_sel = self._plan_compactions(new_index, over)
             # stats report what actually COMMITTED (compact skips
@@ -1755,6 +1748,20 @@ class ParquetMergeSink:
         _mark("commit+compact")
         return stats
 
+    def _over_threshold(self, index: dict) -> list[int]:
+        """Buckets whose entry counts cross a compaction trigger —
+        segment count OR sidecar pressure. The ONE definition shared
+        by ``merge()``'s piggyback and ``maintain()`` (the external
+        daemon round), so the two can never silently diverge."""
+        return sorted(
+            int(b) for b, e in index.items()
+            if (lambda ns, nt, tr: (
+                ns >= self.compact_threshold
+                or nt >= self.compact_threshold
+                or tr >= self.tomb_rows_compact_threshold
+            ))(*self._entry_counts(e))
+        )
+
     def maintain(self, expire_before_ms: int | None = None) -> dict:
         """One externally-driven LSM maintenance round: select every
         over-threshold bucket (same triggers as ``merge()``'s
@@ -1764,29 +1771,31 @@ class ParquetMergeSink:
         rewrite-everything ``compact()`` — on a table in LSM steady
         state (base + merged delta per bucket) the latter would major
         every bucket every round, paying exactly the O(table) write
-        the policy exists to avoid. ``expire_before_ms`` applies only
-        to the major side (TTL/tombstone GC is a full-resolution
-        rewrite)."""
+        the policy exists to avoid.
+
+        ``expire_before_ms`` makes this an EXPIRY round: every planned
+        bucket majors (TTL/tombstone GC is a full-resolution rewrite,
+        and routing only the size-ratio majors through the purge would
+        starve GC forever on exactly the skewed-update tables the
+        minor policy targets). A deployment alternates cheap plain
+        rounds with occasional GC rounds at the consumer watermark."""
         root = self._load_root()
-        over = sorted(
-            int(b) for b, e in root["bucket_index"].items()
-            if (lambda ns, nt, tr: (
-                ns >= self.compact_threshold
-                or nt >= self.compact_threshold
-                or tr >= self.tomb_rows_compact_threshold
-            ))(*self._entry_counts(e))
-        )
-        minor_sel, major_sel = self._plan_compactions(
-            root["bucket_index"], over)
-        out = {"compacted": [], "minor_compacted": [], "compact_s": 0.0}
+        over = self._over_threshold(root["bucket_index"])
+        if expire_before_ms is not None:
+            minor_sel, major_sel = [], list(over)
+        else:
+            minor_sel, major_sel = self._plan_compactions(
+                root["bucket_index"], over)
+        out = {"compacted": [], "minor_compacted": [],
+               "compact_s": 0.0, "minor_compact_s": 0.0}
         if major_sel:
             c = self.compact(major_sel, expire_before_ms=expire_before_ms)
             out["compacted"] = c["compacted"]
-            out["compact_s"] += c["compact_s"]
+            out["compact_s"] = c["compact_s"]
         if minor_sel:
             m = self.compact(minor_sel, minor=True)
             out["minor_compacted"] = m["compacted"]
-            out["compact_s"] += m["compact_s"]
+            out["minor_compact_s"] = m["compact_s"]
         return out
 
     def _plan_compactions(

@@ -334,3 +334,27 @@ def test_maintain_external_lsm_round(spark, tmp_root):
     # steady state: a second round finds nothing to do
     st2 = m.maintain()
     assert not st2["compacted"] and not st2["minor_compacted"]
+
+
+def test_maintain_expiry_round_majors_everything(spark, tmp_root):
+    """maintain(expire_before_ms=...) is a GC round: every planned
+    bucket majors (routing only the size-ratio majors through the
+    purge would starve TTL/tombstone GC forever on skewed tables)."""
+    sink = ParquetMergeSink(spark, f"{tmp_root}/mc_gc", TableConfig(),
+                            num_buckets=4, compact_threshold=10**6,
+                            minor_compact_ratio=0.5)
+    _insert_world(spark, sink, n=60, start_ms=10)
+    sink.compact(buckets=list(range(4)))
+    for step, ms in ((2, 20), (3, 30)):
+        upd = [{"op": OP_ROW_UPDATE, "ms": ms, "seq": i,
+                "repo": f"org/r{i:03d}", "path": "main.x", "lang": "go"}
+               for i in range(4)]
+        sink.merge(fold_batch(_batch(spark, upd), sink.table),
+                   {"step": step})
+    want = _rows(sink.read())
+    m = ParquetMergeSink.for_existing(spark, f"{tmp_root}/mc_gc",
+                                      compact_threshold=3,
+                                      minor_compact_ratio=0.5)
+    st = m.maintain(expire_before_ms=1)  # below every live ts: no purge
+    assert st["compacted"] and not st["minor_compacted"]
+    assert _rows(m.read()) == want

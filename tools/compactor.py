@@ -71,6 +71,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=4)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.policy != "lsm" and (args.compact_threshold is not None
+                                 or args.minor_ratio is not None):
+        # --policy major calls the rewrite-everything compact(), which
+        # never consults these; accepting them silently would let an
+        # operator believe they tuned something
+        ap.error("--compact-threshold/--minor-ratio require --policy lsm")
 
     from scylla_cdc_java_spark.session import get_spark
     from scylla_cdc_java_spark.sinks.parquet_merge import ParquetMergeSink
@@ -110,6 +116,8 @@ def main() -> None:
             }
             if cstats.get("minor_compacted"):
                 rec["minor_compacted"] = cstats["minor_compacted"]
+                rec["minor_compact_s"] = round(
+                    cstats.get("minor_compact_s", 0.0), 2)
             line = json.dumps(rec)
             print(line, flush=True)
             if log:
