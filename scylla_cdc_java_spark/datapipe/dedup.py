@@ -31,6 +31,8 @@ import numpy as np
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .fanout import fan_out
+
 MERSENNE = (1 << 61) - 1
 # a < 2^29 keeps a*crc32 + b < 2^62: no signed-64 overflow, so the JVM
 # expression computes exactly the unsigned universal-hash formula
@@ -115,8 +117,13 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     # EXPLODE shingles -> one hash-aggregate with num_hashes plain LONG
     # mins: fully whole-stage-codegen'd + map-side partial agg (each
     # shingle row folds into 64 fixed-width buffer slots — the shape
-    # HashAggregateExec supports, unlike array/struct buffers)
-    exploded = docs.select(F.col(id_col), F.explode(sh).alias("_h"))
+    # HashAggregateExec supports, unlike array/struct buffers).
+    # fan_out first: the shingle expression is interpreted
+    # (higher-order functions are CodegenFallback) and everything up to
+    # the aggregate exchange runs on the SCAN's partitioning — a
+    # single-row-group corpus file would otherwise hash every shingle
+    # on one core (datapipe/fanout.py).
+    exploded = fan_out(docs, id_col).select(F.col(id_col), F.explode(sh).alias("_h"))
     mins = [
         F.min(
             F.pmod(F.col("_h") * F.lit(int(ai)) + F.lit(int(bi)),
@@ -233,7 +240,7 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text",
     t = F.col(text_col)
     toks = F.split(F.trim(t), r"\s+")
     ex = (
-        docs.where(F.length(F.trim(t)) > 0)
+        fan_out(docs, id_col).where(F.length(F.trim(t)) > 0)
         .select(F.col(id_col), F.explode(toks).alias("_w"))
         .select(
             F.col(id_col), token_hash64_expr(F.col("_w")).alias("_h")
@@ -330,6 +337,7 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
     SETS in twice (candidates are few; the joins are broadcast-able)
     and computes |A∩B| / |A∪B| with JVM array set ops — no Python."""
     sh = shingle_array_expr(F.col(text_col), shingle_k)
+    docs = fan_out(docs, id_col)
     a = docs.select(F.col(id_col).alias("id_a"), sh.alias("_sa"))
     b = docs.select(F.col(id_col).alias("id_b"), sh.alias("_sb"))
     u = F.size(F.array_union(F.col("_sa"), F.col("_sb")))

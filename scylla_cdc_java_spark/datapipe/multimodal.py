@@ -33,7 +33,13 @@ META_SCHEMA = (
 def to_binary_assets(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Model a media table: (doc_id, asset binary, media_type). Here the
-    'asset' is the document's bytes — the plumbing is type-faithful."""
+    'asset' is the document's bytes — the plumbing is type-faithful.
+    fan_out: every downstream decode is a per-row mapInPandas pass that
+    inherits the scan's partitioning — a single-row-group corpus file
+    would otherwise decode on one core (datapipe/fanout.py)."""
+    from .fanout import fan_out
+
+    docs = fan_out(docs, id_col)
     return docs.select(
         F.col(id_col),
         F.encode(F.col(text_col), "UTF-8").alias("asset"),
@@ -174,8 +180,13 @@ def to_png_assets(docs: DataFrame, text_col: str = "text",
     """Encode each doc as a REAL (spec-conformant) tiny RGB PNG — the
     ingest half of the decode-on-real-bytes round trip. mapInPandas:
     text bytes -> deterministic pixel buffer -> stdlib PNG encoder
-    (datapipe/png.py), rotating through all five scanline filters."""
+    (datapipe/png.py), rotating through all five scanline filters.
+    fan_out before the per-row encoder for the same reason as
+    ``to_binary_assets``."""
+    from .fanout import fan_out
     from .png import doc_pixels, encode_png
+
+    docs = fan_out(docs, id_col)
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -31,6 +31,8 @@ import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .fanout import fan_out
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -85,7 +87,11 @@ def cosine_topk_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int = 5
         F.col(qid_col), F.col(vec_col).alias("_qv"),
         _norm(F.col(vec_col)).alias("_qn"),
     )
-    c = embeddings.select(
+    # fan_out: the per-pair dot product is an interpreted higher-order
+    # fold evaluated on the CORPUS scan's partitioning — a single-row-
+    # group embeddings file would run every query x corpus pair on one
+    # core (datapipe/fanout.py)
+    c = fan_out(embeddings, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cn"),
     )
@@ -114,6 +120,7 @@ def embedding_neardup_bruteforce(embeddings: DataFrame, threshold: float = 0.95,
     """Near-duplicate pairs (id_a < id_b, cosine >= threshold) by exact
     all-pairs cosine — the correctness baseline (O(N^2); fine for the
     oracle gate, replaced by ``embedding_neardup_lsh`` at scale)."""
+    embeddings = fan_out(embeddings, id_col)
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
         _norm(F.col(vec_col)).alias("_na"),
@@ -148,7 +155,7 @@ def embedding_neardup_lsh(embeddings: DataFrame, threshold: float = 0.95,
     schema matches the brute-force variant; recall < 1 is the
     documented LSH trade-off."""
     dim = len(embeddings.select(vec_col).first()[0])
-    bk = embeddings.select(
+    bk = fan_out(embeddings, id_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         F.posexplode(
             _all_buckets_expr(F.col(vec_col), dim, n_planes, n_tables, seed)
@@ -282,7 +289,7 @@ def hashed_embeddings(docs: DataFrame, text_col: str = "text",
         raise ValueError(f"dim must be a power of two, got {dim}")
     bits = dim.bit_length() - 1
     sh = shingle_array_expr(F.col(text_col), shingle_k)
-    exploded = docs.select(F.col(id_col), F.explode(sh).alias("_h"))
+    exploded = fan_out(docs, id_col).select(F.col(id_col), F.explode(sh).alias("_h"))
     sign = F.when(
         F.pmod(F.shiftright(F.col("_h"), bits), F.lit(2)) == 0, F.lit(1.0)
     ).otherwise(F.lit(-1.0))
@@ -317,7 +324,7 @@ def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                              id_col, vec_col)
 
     corpus = (
-        embeddings.select(
+        fan_out(embeddings, id_col).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
         )
         .withColumn("_dots", _centroid_dots_expr(F.col("_cv"), cn))
@@ -365,7 +372,7 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             _all_buckets_expr(F.col(vec_col), dim, n_planes, n_tables, seed)
         ).alias("_t", "_b"),
     )
-    cb = embeddings.select(
+    cb = fan_out(embeddings, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         F.posexplode(
             _all_buckets_expr(F.col(vec_col), dim, n_planes, n_tables, seed)

