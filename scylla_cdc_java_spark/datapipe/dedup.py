@@ -107,37 +107,83 @@ def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_k: int = 3, seed: int = 42) -> DataFrame:
-    """doc_id -> array<bigint> MinHash signature, entirely JVM-side:
-    sig[i] = min over shingles of (a_i * crc32(shingle) + b_i) mod p.
-    a_i < 2^29 and crc32 < 2^32 keep every intermediate below 2^62, so
-    signed JVM arithmetic equals the unsigned textbook formula (and the
-    pure-Python golden) bit-for-bit."""
+    """doc_id -> array<bigint> MinHash signature:
+    sig[i] = min over distinct shingles of (a_i * crc32(shingle) + b_i)
+    mod p — bit-identical to the earlier explode -> 64-way JVM min
+    aggregate (tests pin equality against the pure-Python golden).
+
+    Round-6 execution shape: one NARROW ``mapInPandas`` pass with the
+    permutation bank applied as vectorized int64 numpy (guide §4.2 —
+    batches to native code). The shingle window strings were previously
+    built by interpreted CodegenFallback higher-order expressions and
+    the mins by a 64-column hash aggregate + exchange; the kernel does
+    the same work with zlib.crc32 (identical to the JVM's crc32 on the
+    UTF-8 bytes) + ``np.minimum.reduceat`` per permutation, turning a
+    scan+explode+aggregate (2 jobs' worth of stages and one shuffle of
+    every shingle) into a single narrow map — and cutting ~0.7 s of
+    per-build driver time for the 64-aggregate Catalyst tree.
+
+    Exactness notes, mirroring ``shingle_array_expr`` / the golden:
+    - tokenization = Spark ``trim`` (strips 0x20 only) then
+      ``split('\\s+', -1)`` with Java regex semantics: ``\\s`` is the
+      ASCII class [ \\t\\n\\x0b\\f\\r], a leading separator yields a
+      leading empty token, trailing empties are kept (limit -1);
+    - docs shorter than k tokens pad with empty tokens; every non-NULL
+      text yields >= 1 window, and NULL texts yield NO row (the
+      explode of a NULL shingle array dropped them before);
+    - a_i < 2^29 and crc32 < 2^32 keep a*h+b below 2^62, so int64
+      arithmetic is exact (no overflow, no float).
+    """
+    import re
+
+    import pandas as pd
+
     a, b = _perm_params(num_hashes, seed)
-    sh = shingle_array_expr(F.col(text_col), shingle_k)
-    # EXPLODE shingles -> one hash-aggregate with num_hashes plain LONG
-    # mins: fully whole-stage-codegen'd + map-side partial agg (each
-    # shingle row folds into 64 fixed-width buffer slots — the shape
-    # HashAggregateExec supports, unlike array/struct buffers).
-    # fan_out first: the shingle expression is interpreted
-    # (higher-order functions are CodegenFallback) and everything up to
-    # the aggregate exchange runs on the SCAN's partitioning — a
-    # single-row-group corpus file would otherwise hash every shingle
-    # on one core (datapipe/fanout.py).
-    exploded = fan_out(docs, id_col).select(F.col(id_col), F.explode(sh).alias("_h"))
-    mins = [
-        F.min(
-            F.pmod(F.col("_h") * F.lit(int(ai)) + F.lit(int(bi)),
-                   F.lit(MERSENNE))
-        ).alias(f"_m{i}")
-        for i, (ai, bi) in enumerate(zip(a, b))
-    ]
+    a_list, b_list = a.tolist(), b.tolist()
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, `sig` array<bigint>"
+    k = shingle_k
+
+    def _sig(batches):
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        av = np.asarray(a_list, dtype=np.int64)
+        bv = np.asarray(b_list, dtype=np.int64)
+        join = " ".join
+        crc = zlib.crc32
+        for pdf in batches:
+            ids, flat, counts = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or (not isinstance(text, str)
+                                    and pd.isna(text)):
+                    continue
+                toks = ws.split(text.strip(" "))
+                n = len(toks)
+                if n < k:
+                    toks = toks + [""] * (k - n)
+                seen = {
+                    crc(join(toks[i:i + k]).encode("utf-8"))
+                    for i in range(max(n - k + 1, 1))
+                }
+                ids.append(did)
+                flat.extend(seen)
+                counts.append(len(seen))
+            if not ids:
+                continue
+            h = np.fromiter(flat, dtype=np.int64, count=len(flat))
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(np.asarray(counts[:-1], dtype=np.int64),
+                      out=starts[1:])
+            # per-permutation pass keeps transient memory at O(shingles)
+            mins = np.empty((len(ids), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                mins[:, i] = np.minimum.reduceat(
+                    (av[i] * h + bv[i]) % MERSENNE, starts)
+            yield pd.DataFrame({id_col: ids, "sig": list(mins)})
+
     return (
-        exploded.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
-        )
+        fan_out(docs, id_col)
+        .select(id_col, text_col)
+        .mapInPandas(_sig, schema=out_schema)
     )
 
 
@@ -162,19 +208,32 @@ def lsh_candidates_from_signatures(sig: DataFrame, id_col: str = "doc_id",
     incrementally as the CDC stream touches documents; candidate
     generation stays bucketed, never all-pairs.
 
-    Plan shape (round 5 rewrite): group each (band, bucket) and expand
-    pairs INSIDE the bucket with array expressions — the bucket list is
-    bounded by ``max_bucket`` so the expansion is O(max_bucket²) per
-    group, all whole-stage-codegen. This replaces the earlier
-    count→left_semi→self-join pipeline: 3 exchanges instead of 5, the
-    signature subtree evaluated once instead of relying on exchange
-    reuse across three consumers, and the skew guard is an anti-join
-    against the OVER-limit bucket set — typically a handful of
-    degenerate buckets (empty/boilerplate docs), AQE-broadcastable —
-    where the old semi-join shuffled an OK-set nearly as large as the
-    banded rows themselves. The guard runs before ``collect_list`` so a
-    degenerate bucket (at 100 TB: billions of identical docs in one
-    bucket) never materializes an aggregation buffer."""
+    Plan shape (round 5 rewrite, re-plumbed round 6): group each
+    (band, bucket) and expand pairs INSIDE the bucket with array
+    expressions — the bucket list is bounded by ``max_bucket`` so the
+    expansion is O(max_bucket²) per group, all whole-stage-codegen.
+    Round 6: the skew-guard count and the pair expansion previously
+    hung off two INDEPENDENT subtrees, so the whole signature pipeline
+    upstream executed twice (the round-5 "shares the banded exchange"
+    claim never held — the guard's aggregation exchange and the main
+    path's were different subtrees, and an anti-join over a shared
+    repartition does not survive the optimizer either:
+    PushDownLeftSemiAntiJoin splits the subtrees again. With the
+    mapInPandas signature kernel that double evaluation was measured
+    at ~0.7 s of the 1.9 s query). The guard is now a WINDOW count
+    over one explicit (band, bucket) repartition: bucket size via
+    ``count(*) over (partition by band, bucket)`` — a streaming frame,
+    no per-bucket buffer — filtered to ``<= max_bucket`` BEFORE the
+    ``collect_list``, which then needs no further shuffle because the
+    repartition already satisfies its clustering. One exchange, one
+    evaluation of the signature kernel, zero joins; identical result
+    set to the anti-join formulation. A degenerate bucket (at 100 TB:
+    billions of identical docs in one bucket) still never materializes
+    an aggregation buffer — its rows cross the shared exchange once
+    and stream out of the window filter, the price of evaluating the
+    signatures once instead of twice."""
+    from pyspark.sql import Window
+
     rows_per_band = num_hashes // bands
     banded = sig.select(
         id_col,
@@ -184,16 +243,14 @@ def lsh_candidates_from_signatures(sig: DataFrame, id_col: str = "doc_id",
                 for i in range(bands)
             ])
         ).alias("band", "bucket"),
+    ).repartition(F.col("band"), F.col("bucket"))
+    # skew guard: drop degenerate buckets (and singleton buckets, which
+    # can form no pair — the old `size(_ids) >= 2` filter, applied
+    # before the lists materialize)
+    wcnt = F.count("*").over(Window.partitionBy("band", "bucket"))
+    banded = banded.withColumn("_bn", wcnt).where(
+        (F.col("_bn") <= max_bucket) & (F.col("_bn") >= 2)
     )
-    # skew guard: drop degenerate buckets. `bad` is tiny (over-limit
-    # buckets only) so the anti-join broadcasts under AQE; its subtree
-    # shares the banded exchange with the main path (ReusedExchange).
-    bad = (
-        banded.groupBy("band", "bucket").count()
-        .where(F.col("count") > max_bucket)
-        .drop("count")
-    )
-    banded = banded.join(bad, ["band", "bucket"], "left_anti")
     ids = F.col("_ids")
     # pairs (ids[i], ids[j]) for i < j over the sorted in-bucket list;
     # only attributes are referenced inside the lambdas (PLANS.md §6's
@@ -299,17 +356,21 @@ def simhash_candidates_from_signatures(sig: DataFrame,
     exactly ONE prefix bucket, so pairs are already distinct — no
     dedup exchange needed (unlike the banded-LSH path, where a pair
     can collide in several bands). Returns (id_a, id_b)."""
+    from pyspark.sql import Window
+
     bucketed = sig.select(
         F.col(id_col),
         F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
         .alias("bucket"),
+    ).repartition(F.col("bucket"))
+    # window-count skew guard over the single shared exchange (same
+    # round-6 re-plumbing as lsh_candidates_from_signatures: one
+    # evaluation of the signature subtree, zero joins, streaming frame
+    # so no per-bucket buffer)
+    wcnt = F.count("*").over(Window.partitionBy("bucket"))
+    bucketed = bucketed.withColumn("_bn", wcnt).where(
+        (F.col("_bn") <= max_bucket) & (F.col("_bn") >= 2)
     )
-    bad = (
-        bucketed.groupBy("bucket").count()
-        .where(F.col("count") > max_bucket)
-        .drop("count")
-    )
-    bucketed = bucketed.join(bad, ["bucket"], "left_anti")
     ids = F.col("_ids")
     pair_structs = F.flatten(
         F.transform(
