@@ -112,35 +112,57 @@ def _log_layout(log_dir: str, min_generation: int | None = None
 
 def _files_ms_bounds(files) -> tuple[int, int] | None:
     """(min, max) of `cdc$time.ms` over the files' footers, or None when
-    any footer lacks usable statistics."""
-    try:
-        import pyarrow.parquet as pq
-    except ImportError:  # pragma: no cover
-        return None
+    any footer lacks usable statistics. Footers are opened from a small
+    thread pool: this is pure driver-side metadata I/O, and a window
+    check over a wide generation touches hundreds of write-once files —
+    sequential opens were a measurable slice of the per-replay
+    non-merge overhead (guide §5: keep the driver's single-threaded
+    work off the critical path)."""
+    stats = _parallel_file_stats(files)
     lo = hi = None
-    for f in files:
-        try:
-            md = pq.ParquetFile(f).metadata
-        except Exception:
-            return None
-        if not md.num_row_groups:
+    for st in stats:
+        if st is _STATS_EMPTY:
             continue
-        idx = next(
-            (i for i in range(md.num_columns)
-             if md.row_group(0).column(i).path_in_schema == "cdc$time.ms"),
-            None,
-        )
-        if idx is None:
+        if st is None:
             return None
-        for gi in range(md.num_row_groups):
-            st = md.row_group(gi).column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+        flo, fhi, _rows = st
+        lo = flo if lo is None else min(lo, flo)
+        hi = fhi if hi is None else max(hi, fhi)
     if lo is None:
         return None
     return lo, hi
+
+
+# sentinel: a readable footer with zero row groups (no data, no bounds)
+_STATS_EMPTY = object()
+
+
+def _parallel_file_stats(files) -> list:
+    """``_file_ms_rows`` for every file, preserving order, using a
+    bounded thread pool (footer reads release the GIL in pyarrow's IO
+    layer). Returns per-file ``(min, max, rows)`` tuples, ``None`` for
+    unusable footers, or ``_STATS_EMPTY`` for empty files."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(f):
+        st = _file_ms_rows(f)
+        if st is not None:
+            return st
+        # distinguish "empty file" (harmless) from "no usable stats"
+        try:
+            import pyarrow.parquet as pq
+
+            if pq.ParquetFile(f).metadata.num_row_groups == 0:
+                return _STATS_EMPTY
+        except Exception:
+            pass
+        return None
+
+    files = list(files)
+    if len(files) <= 2:
+        return [one(f) for f in files]
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+        return list(pool.map(one, files))
 
 
 def _file_ms_rows(path: str) -> tuple[int, int, int] | None:
@@ -176,33 +198,20 @@ def _file_ms_rows(path: str) -> tuple[int, int, int] | None:
 
 def _footer_max_ms(dirs) -> int | None:
     """Max of the `cdc$time.ms` column over the given dirs' parquet
-    footers (driver-side statistics read, no data pages touched)."""
-    try:
-        import pyarrow.parquet as pq
-    except ImportError:  # pragma: no cover
-        return None
+    footers (driver-side statistics read, no data pages touched;
+    parallel footer opens like ``_files_ms_bounds``). An EMPTY file's
+    footer has no bounds and, per the original sequential code, makes
+    the whole answer unusable (conservative fall back to the bucket
+    bound)."""
+    files = [
+        f for d in dirs
+        for f in glob.glob(os.path.join(glob.escape(d), "*.parquet"))
+    ]
     best = None
-    for d in dirs:
-        for f in glob.glob(os.path.join(glob.escape(d), "*.parquet")):
-            try:
-                md = pq.ParquetFile(f).metadata
-            except Exception:  # unreadable footer -> fall back to bucket bound
-                return None
-            idx = next(
-                (
-                    i for i in range(md.num_columns)
-                    if md.row_group(0).column(i).path_in_schema
-                    == "cdc$time.ms"
-                ),
-                None,
-            ) if md.num_row_groups else None
-            if idx is None:
-                return None
-            for gi in range(md.num_row_groups):
-                st = md.row_group(gi).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    return None
-                best = st.max if best is None else max(best, st.max)
+    for st in _parallel_file_stats(files):
+        if st is None or st is _STATS_EMPTY:
+            return None
+        best = st[1] if best is None else max(best, st[1])
     return best
 
 
@@ -434,12 +443,28 @@ class Engine:
 
     # ------------------------------------------------------------------
     def generations(self) -> list[tuple[int, list[bytes]]]:
-        rows = (
-            self.spark.read.parquet(self.generations_path)
-            .orderBy("time")
-            .collect()
-        )
-        return [(r["time"], [bytes(s) for s in r["streams"]]) for r in rows]
+        """Generation metadata (time -> stream set), ordered by time.
+        Read driver-side with pyarrow: this is a tiny metadata table
+        (the reference's system_distributed.cdc_generation read, S1/S2)
+        and a Spark job here costs ~0.2-0.3 s of pure scheduling per
+        engine construction — paid by every replay, tail step quiet
+        period, and contract entry. Falls back to the Spark read if
+        pyarrow cannot load the path (e.g. an exotic layout)."""
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(self.generations_path)
+            recs = sorted(t.to_pylist(), key=lambda r: r["time"])
+            return [
+                (r["time"], [bytes(s) for s in r["streams"]]) for r in recs
+            ]
+        except Exception:
+            rows = (
+                self.spark.read.parquet(self.generations_path)
+                .orderBy("time")
+                .collect()
+            )
+            return [(r["time"], [bytes(s) for s in r["streams"]]) for r in rows]
 
     def _read_window(self, gstart: int, w: FetchingWindow) -> DataFrame:
         """Windowed log scan (SURVEY.md S3): partition pruning on

@@ -353,6 +353,14 @@ def test_external_lsm_maintainer_process_during_replay(spark, tmp_root):
         )
 
         pick = next(r for r in oracle_rows if r.get("lang"))
+        # the fallback's minor-eligibility needs a BASE under the pick's
+        # bucket; the round-6 faster replay can starve the daemon so
+        # thoroughly that low-traffic buckets never crossed the segment
+        # threshold mid-replay and carry no base at all (a major, not a
+        # minor, would then be planned). Establish bases everywhere
+        # in-process first — the asserted MINOR still happens in the
+        # external daemon round below.
+        eng.sink.compact()
         for ms in (10**7, 10**7 + 1000):
             upd = eng.sink.spark.createDataFrame(
                 [(b"\x0e" * 16, {"ms": ms, "seq": 0}, 1,
