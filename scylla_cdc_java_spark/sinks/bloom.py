@@ -130,6 +130,31 @@ def xxh64(data: bytes, seed: int) -> int:
     return h
 
 
+def xxhash64_strings(values, seed: int = _SPARK_SEED) -> int:
+    """Spark's ``xxhash64(col1, col2, ...)`` over STRING values,
+    driver-side: catalyst chains the running hash as the next field's
+    seed, starting from the default seed 42. Returns the UNSIGNED
+    64-bit hash; reinterpret as a signed long before ``%`` to mirror
+    ``pmod``. Parity with the JVM is pinned by a randomized test
+    (tests/test_lookup.py) including multi-column keys."""
+    h = seed
+    for v in values:
+        h = xxh64(v.encode("utf-8"), h)
+    return h
+
+
+def bucket_for_key(values, num_buckets: int) -> int:
+    """Driver-side twin of the sink's routing expression
+    ``pmod(xxhash64(*partition_key), num_buckets)`` — lets a point
+    lookup route to its bucket with ZERO Spark jobs (the previous
+    1-row job put a fixed ~100 ms scheduler floor under every lookup
+    regardless of data)."""
+    h = xxhash64_strings(values)
+    if h >= 1 << 63:  # reinterpret as Java signed long
+        h -= 1 << 64
+    return h % num_buckets
+
+
 @functools.lru_cache(maxsize=64)
 def _probe_seed(i: int) -> int:
     """Seed of hash function i — what ``xxhash64(lit('bf<i>'), col)``

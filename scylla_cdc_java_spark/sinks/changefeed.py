@@ -705,7 +705,19 @@ class ParquetMirror:
         tgt_nb = int(sink._load_root(tok["version"]).get(
             "num_buckets", sink.num_buckets))
         stored_nb = self._load_routing()
-        if pos is not None and stored_nb is not None and stored_nb != tgt_nb:
+        # ``stored_nb is None`` with data on disk means a legacy schema
+        # file that predates routing capture (ADVICE r5): its
+        # partitions may be routed by a superseded count, and skipping
+        # the check would diff-apply under the NEW routing, leave stale
+        # copies in old-routing partitions forever, and then record
+        # tgt_nb so the mismatch is never seen again. Treat it exactly
+        # like a detected mismatch — one full rebuild, after which the
+        # routing is recorded and the cheap path resumes.
+        legacy_unknown_nb = (
+            stored_nb is None and os.path.isdir(self._data_dir))
+        if pos is not None and (
+                legacy_unknown_nb
+                or (stored_nb is not None and stored_nb != tgt_nb)):
             # the source was REBUCKETED since this mirror's partitions
             # were written: they are routed by the old count, so a
             # diff-apply would rewrite a changed key's NEW-routing

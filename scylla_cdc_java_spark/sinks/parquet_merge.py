@@ -139,6 +139,7 @@ from .bucket_index import (
 from .bloom import (
     BLOOM_KEY,
     DEFAULT_BLOOM_BITS,
+    bucket_for_key,
     DEFAULT_BLOOM_HASHES,
     encode_bitmap,
     may_contain,
@@ -678,8 +679,21 @@ class ParquetMergeSink:
         # history() and version_as_of() (Delta DESCRIBE HISTORY / Iceberg
         # snapshot-log parity). Stamped unconditionally so a rollback —
         # which copies an OLD snapshot's dict — records its own moment,
-        # not the restored snapshot's.
-        manifest["committed_at_ms"] = int(time.time() * 1000)
+        # not the restored snapshot's. Clamped to the predecessor
+        # root's stamp (ADVICE r5): writers/compactors/rebucketers in
+        # DIFFERENT processes all commit, and a skewed clock could
+        # otherwise stamp version N+1 before version N, making
+        # version_as_of(ts) skip or mis-order versions around the
+        # skew; the clamp keeps (version, committed_at_ms) jointly
+        # monotone. The root is O(shards) small, and we already hold
+        # the cross-process commit lock here.
+        now_ms = int(time.time() * 1000)
+        try:
+            with open(self._manifest_path) as _f:
+                prev_ms = json.load(_f).get("committed_at_ms") or 0
+        except (OSError, ValueError):
+            prev_ms = 0
+        manifest["committed_at_ms"] = max(now_ms, int(prev_ms))
         if op is not None:
             manifest["operation"] = op
         # immutable snapshot first (enables time travel / snapshot GC),
@@ -1395,14 +1409,22 @@ class ParquetMergeSink:
         # route by the TARGET version's num_buckets — after an online
         # rebucket a live instance must follow the current root, and a
         # time-travel lookup across the boundary must use the OLD
-        # layout (that snapshot's files are routed by it)
-        nb = int(self._load_root(version).get(
-            "num_buckets", self.num_buckets))
-        b = self.spark.range(1).select(
-            F.pmod(F.xxhash64(*[F.lit(v) for v in pks]),
-                   F.lit(nb)).cast("int").alias("b")
-        ).collect()[0]["b"]
-        df = self.read(as_of_ms=as_of_ms, version=version, buckets=[b])
+        # layout (that snapshot's files are routed by it). ONE root
+        # load shared with the read below (ADVICE r5): computing the
+        # bucket under one root and reading under a second let a
+        # concurrent rebucket() commit between the two loads silently
+        # return empty for an existing key; scan() already shares a
+        # single root load for exactly this reason.
+        m = self._load_root(version)
+        nb = int(m.get("num_buckets", self.num_buckets))
+        # driver-side routing via the JVM-parity pure-Python XXH64
+        # (sinks/bloom.py, same helper family the bloom probe uses):
+        # the old 1-row Spark job added a fixed ~100 ms scheduling
+        # floor to every point read for arithmetic the driver can do
+        # in microseconds — lookup() is now metadata + ONE pruned scan
+        b = int(bucket_for_key(list(pks), nb))
+        df = self.read(as_of_ms=as_of_ms, version=version, buckets=[b],
+                       _root=m)
         for c, v in zip(self.table.partition_key, pks):
             df = df.where(F.col(c) == F.lit(v))
         if clustering is not None:

@@ -111,3 +111,72 @@ def test_point_lookup_prunes_and_pushes_down(spark, tmp_root):
         t = pq.read_table(f, columns=["repo", "path"])
         keys = list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
         assert keys == sorted(keys), f
+
+
+def test_driver_side_routing_parity(spark):
+    """Round 6: lookup() routes its bucket driver-side via the
+    pure-Python XXH64 (sinks/bloom.py). Pin bit-parity of the
+    composite-key chain against the JVM's xxhash64 on randomized
+    multi-part string keys, and pmod parity on the signed residue."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.sinks.bloom import (
+        bucket_for_key,
+        xxhash64_strings,
+    )
+
+    rng = random.Random(20260821)
+    cases = [("",), ("a",), ("repo", "path"), ("org1/r", "src/müller.py"),
+             ("中文", "路径/子路径"), ("a" * 100, "b" * 37, "c")]
+    for _ in range(40):
+        n = rng.randint(1, 3)
+        cases.append(tuple(
+            "".join(rng.choice(string.printable[:94])
+                    for _ in range(rng.randint(0, 40)))
+            for _ in range(n)
+        ))
+    rows = []
+    for vals in cases:
+        nb = rng.choice([1, 2, 8, 32, 131072])
+        jvm = spark.range(1).select(
+            F.xxhash64(*[F.lit(v) for v in vals]).alias("h"),
+            F.pmod(F.xxhash64(*[F.lit(v) for v in vals]),
+                   F.lit(nb)).cast("int").alias("b"),
+        ).collect()[0]
+        py_h = xxhash64_strings(vals)
+        py_signed = py_h - (1 << 64) if py_h >= 1 << 63 else py_h
+        assert py_signed == jvm["h"], vals
+        assert bucket_for_key(list(vals), nb) == jvm["b"], (vals, nb)
+        rows.append(vals)
+    assert len(rows) == len(cases)
+
+
+def test_lookup_runs_zero_routing_jobs(spark, tmp_root):
+    """Constructing a lookup() DataFrame must launch NO Spark job —
+    routing is driver-side; the only job is the pruned read the caller
+    executes. (The pre-round-6 code ran a 1-row job per lookup.)"""
+    import os
+
+    from scylla_cdc_java_spark import Engine, EngineConfig, generate_to_dir
+    from scylla_cdc_java_spark.generator import GenSpec
+
+    spec = GenSpec(seed=91, n_events=800, n_repos=10, paths_per_repo=4,
+                   n_generations=1, streams_per_generation=2,
+                   gen_span_ms=30_000)
+    info = generate_to_dir(spec, os.path.join(tmp_root, "lk0w"))
+    eng = Engine(spark, info["log_dir"], info["generations_path"],
+                 os.path.join(tmp_root, "lk0t"),
+                 cfg=EngineConfig(window_length_limit_ms=30_000))
+    eng.replay()
+    row = eng.sink.read().select("repo", "path").first()
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = eng.sink.lookup((row["repo"],), row["path"])  # no action yet
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "lookup() construction launched a Spark job"
+    got = df.collect()
+    assert any(r["repo"] == row["repo"] and r["path"] == row["path"]
+               for r in got)
