@@ -41,6 +41,7 @@ from ..model import (
     COL_GENERATION,
     COL_OP,
     COL_STREAM_GROUP,
+    COL_TIME,
     COL_TIME_BUCKET,
     COL_TS,
     DEFAULT_TABLE,
@@ -504,6 +505,22 @@ class Engine:
                 )
                 pred = pred | ((F.col(COL_STREAM_GROUP) == g) & shard)
             df = df.where(pred)
+        # Coarse ms-range pushdown (round 6): the fine predicate below
+        # is on the DERIVED packed ``cdc$ts`` (ms*2^21+seq), which can
+        # never reach the parquet reader — so a window covering part of
+        # a time bucket still decoded every row group in that bucket's
+        # files. The same window expressed on the RAW nested
+        # ``cdc$time.ms`` field IS pushdown-eligible (nested predicate
+        # pushdown, parquet row-group stats): ts > start_ts implies
+        # ms >= (start_ts+1)//2^21 and ts <= end_ts implies
+        # ms <= end_ts//2^21, so the coarse filter is provably implied
+        # by the fine one — identical rows, plus row-group skipping for
+        # sub-bucket windows (the live-tail and gate regime; the bench's
+        # generation-wide windows are unaffected either way).
+        df = df.where(
+            (F.col(COL_TIME + ".ms") >= start_ms)
+            & (F.col(COL_TIME + ".ms") <= w.end_ts // SEQ_MOD)
+        )
         df = normalize_log(df)
         return df.where(
             (F.col(COL_TS) > w.start_ts) & (F.col(COL_TS) <= w.end_ts)
